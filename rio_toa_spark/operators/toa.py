@@ -1,0 +1,308 @@
+"""TOA pipelines as Spark DataFrame operators.
+
+Plan shape (the Spark equivalent of rio-toa's calculate_* drivers at
+rio_toa/radiance.py:64-128, reflectance.py:131-210,
+brightness_temp.py:94-172):
+
+    tiles (scan, partition-pruned on band)
+      |> broadcast hash join on scene_id against the parsed scenes dim
+      |> mapInPandas kernel (Arrow batches; numpy float32 per tile)
+      |> sink (parquet/iceberg, partitionBy scene_id, band)
+
+Scene constants (M/A/E/K1/K2) travel through the broadcast join as
+columns — Catalyst's version of the reference's ``global_args`` dict.
+The pixel math itself is opaque to Catalyst by design: bitwise float32
+parity requires numpy's exact op order (see functions/kernels.py).
+
+Scalability notes:
+* No shuffle anywhere in radiance / reflectance / brightness-temp —
+  the scenes side is broadcast, tiles stream through map tasks.
+* The reference's multiband stack (reflectance.py:93-96) exists only
+  because its sink is one multi-band GeoTIFF; the math is
+  band-elementwise, so we process band rows independently (bit-equal,
+  proven in tests) and offer stack_bands() as an optional sink-side
+  grouping. At 100 TB this turns a would-be k-way shuffle join into a
+  pure map.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from rio_toa_spark.functions import kernels, sun
+from rio_toa_spark.functions.mtl import mtl_band_value, with_parsed_mtl
+
+TILE_KEY = ["scene_id", "band", "tile_row", "tile_col"]
+
+_OUT_FIELDS = [
+    T.StructField("scene_id", T.StringType()),
+    T.StructField("band", T.IntegerType()),
+    T.StructField("tile_row", T.IntegerType()),
+    T.StructField("tile_col", T.IntegerType()),
+    T.StructField("width", T.IntegerType()),
+    T.StructField("height", T.IntegerType()),
+    T.StructField("dtype", T.StringType()),
+    T.StructField("pixels", T.BinaryType()),
+]
+TOA_OUT_SCHEMA = T.StructType(_OUT_FIELDS)
+
+
+def prepare_scenes(scenes_df: DataFrame) -> DataFrame:
+    """Parse the ODL text column into the typed ``mtl`` struct
+    (distributed MTL extraction; reference loads per-file on the
+    driver at rio_toa/toa_utils.py:50-55)."""
+    return with_parsed_mtl(scenes_df, "mtl_txt", "mtl")
+
+
+def _nodata_of(value) -> int | None:
+    return None if value is None or (isinstance(value, float) and np.isnan(value)) else int(value)
+
+
+def _decode(dn_bytes: bytes, height: int, width: int) -> np.ndarray:
+    return np.frombuffer(dn_bytes, dtype="<u2").reshape(int(height), int(width))
+
+
+def radiance_tiles(
+    tiles_df: DataFrame,
+    scenes_df: DataFrame,
+    band: int,
+    dst_dtype: str = "float32",
+    rescale_factor: float | None = None,
+    clip: bool = True,
+) -> DataFrame:
+    """TOA radiance for one band: the Spark form of
+    calculate_landsat_radiance (rio_toa/radiance.py:64-128); per-tile
+    math matches _radiance_worker (:45-61) bit-for-bit."""
+    factor = kernels.normalize_scale(rescale_factor, dst_dtype)
+    scenes = prepare_scenes(scenes_df)
+    dim = scenes.select(
+        "scene_id",
+        mtl_band_value(F.col("mtl"), "RADIOMETRIC_RESCALING", "RADIANCE_MULT_BAND_", F.lit(band)).alias("c_ml"),
+        mtl_band_value(F.col("mtl"), "RADIOMETRIC_RESCALING", "RADIANCE_ADD_BAND_", F.lit(band)).alias("c_al"),
+    )
+    src = tiles_df.filter(F.col("band") == band).join(F.broadcast(dim), "scene_id")
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for row in pdf.itertuples(index=False):
+                dn = _decode(row.pixels, row.height, row.width)
+                arr = kernels.rescale(
+                    kernels.radiance(dn, row.c_ml, row.c_al, _nodata_of(row.nodata)),
+                    factor,
+                    np.dtype(dst_dtype),
+                    clip=clip,
+                )
+                out.append(arr.tobytes())
+            yield pd.DataFrame(
+                {
+                    "scene_id": pdf["scene_id"],
+                    "band": pdf["band"],
+                    "tile_row": pdf["tile_row"],
+                    "tile_col": pdf["tile_col"],
+                    "width": pdf["width"],
+                    "height": pdf["height"],
+                    "dtype": dst_dtype,
+                    "pixels": out,
+                }
+            )
+
+    return src.mapInPandas(run, TOA_OUT_SCHEMA)
+
+
+def reflectance_tiles(
+    tiles_df: DataFrame,
+    scenes_df: DataFrame,
+    bands: list[int],
+    dst_dtype: str = "float32",
+    rescale_factor: float | None = None,
+    clip: bool = True,
+    per_pixel_sun: bool = False,
+) -> DataFrame:
+    """TOA reflectance for the given bands (scene-center or per-pixel
+    sun elevation): the Spark form of calculate_landsat_reflectance
+    (rio_toa/reflectance.py:131-210).
+
+    Bit parity with _reflectance_worker (:77-128): each band row is
+    processed as a depth-1 stack — float32 pre-cast, length-1 M/A
+    lists (which upcast intermediates to float64 exactly like the
+    reference's per-band lists), E as a length-1 float64 array or the
+    per-pixel grid reshaped (rows, cols, 1).
+    """
+    factor = kernels.normalize_scale(rescale_factor, dst_dtype)
+    # Per-band constants need a (scene x band) dim; build it by
+    # cross-joining the tiny scenes dim with the requested band list —
+    # still broadcastable (|scenes| * |bands| rows).
+    band_lit = F.explode(F.array(*[F.lit(b) for b in bands])).alias("band")
+    dim = prepare_scenes(scenes_df).select("scene_id", "mtl").select(
+        "scene_id", "mtl", band_lit
+    ).select(
+        "scene_id",
+        "band",
+        mtl_band_value(F.col("mtl"), "RADIOMETRIC_RESCALING", "REFLECTANCE_MULT_BAND_", F.col("band")).alias("c_ml"),
+        mtl_band_value(F.col("mtl"), "RADIOMETRIC_RESCALING", "REFLECTANCE_ADD_BAND_", F.col("band")).alias("c_al"),
+        F.col("mtl.L1_METADATA_FILE.IMAGE_ATTRIBUTES.SUN_ELEVATION").alias("c_e"),
+        F.col("mtl.L1_METADATA_FILE.PRODUCT_METADATA.DATE_ACQUIRED").alias("c_date"),
+        F.col("mtl.L1_METADATA_FILE.PRODUCT_METADATA.SCENE_CENTER_TIME").alias("c_time"),
+    )
+    src = tiles_df.filter(F.col("band").isin(bands)).join(
+        F.broadcast(dim), ["scene_id", "band"]
+    )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for row in pdf.itertuples(index=False):
+                rows_, cols_ = int(row.height), int(row.width)
+                data = _decode(row.pixels, rows_, cols_).astype(np.float32)[np.newaxis, :, :]
+                if per_pixel_sun:
+                    elev = sun.sun_elevation(
+                        [row.bounds_w, row.bounds_s, row.bounds_e, row.bounds_n],
+                        (rows_, cols_),
+                        row.c_date,
+                        row.c_time,
+                    ).reshape(rows_, cols_, 1)
+                else:
+                    elev = np.array([row.c_e])
+                arr = kernels.rescale(
+                    kernels.reflectance(data, [row.c_ml], [row.c_al], elev, _nodata_of(row.nodata)),
+                    factor,
+                    np.dtype(dst_dtype),
+                    clip=clip,
+                )
+                out.append(arr.tobytes())
+            yield pd.DataFrame(
+                {
+                    "scene_id": pdf["scene_id"],
+                    "band": pdf["band"],
+                    "tile_row": pdf["tile_row"],
+                    "tile_col": pdf["tile_col"],
+                    "width": pdf["width"],
+                    "height": pdf["height"],
+                    "dtype": dst_dtype,
+                    "pixels": out,
+                }
+            )
+
+    return src.mapInPandas(run, TOA_OUT_SCHEMA)
+
+
+def brightness_temp_tiles(
+    tiles_df: DataFrame,
+    scenes_df: DataFrame,
+    band: int = 10,
+    temp_scale: str = "K",
+    dst_dtype: str = "float32",
+    src_nodata: int = 0,
+) -> DataFrame:
+    """Brightness temperature for a thermal band: the Spark form of
+    calculate_landsat_brightness_temperature
+    (rio_toa/brightness_temp.py:94-172). Matches
+    _brightness_temp_worker (:65-91): kernel -> temp_rescale -> direct
+    dtype cast, no 0-1 rescale; nodata hardcoded to 0 like the
+    reference's global_args (:161)."""
+    scenes = prepare_scenes(scenes_df)
+    dim = scenes.select(
+        "scene_id",
+        mtl_band_value(F.col("mtl"), "RADIOMETRIC_RESCALING", "RADIANCE_MULT_BAND_", F.lit(band)).alias("c_ml"),
+        mtl_band_value(F.col("mtl"), "RADIOMETRIC_RESCALING", "RADIANCE_ADD_BAND_", F.lit(band)).alias("c_al"),
+        mtl_band_value(F.col("mtl"), "TIRS_THERMAL_CONSTANTS", "K1_CONSTANT_BAND_", F.lit(band)).alias("c_k1"),
+        mtl_band_value(F.col("mtl"), "TIRS_THERMAL_CONSTANTS", "K2_CONSTANT_BAND_", F.lit(band)).alias("c_k2"),
+    )
+    src = tiles_df.filter(F.col("band") == band).join(F.broadcast(dim), "scene_id")
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for row in pdf.itertuples(index=False):
+                dn = _decode(row.pixels, row.height, row.width)
+                arr = kernels.temp_rescale(
+                    kernels.brightness_temp(dn, row.c_ml, row.c_al, row.c_k1, row.c_k2, src_nodata),
+                    temp_scale,
+                ).astype(np.dtype(dst_dtype))
+                out.append(arr.tobytes())
+            yield pd.DataFrame(
+                {
+                    "scene_id": pdf["scene_id"],
+                    "band": pdf["band"],
+                    "tile_row": pdf["tile_row"],
+                    "tile_col": pdf["tile_col"],
+                    "width": pdf["width"],
+                    "height": pdf["height"],
+                    "dtype": dst_dtype,
+                    "pixels": out,
+                }
+            )
+
+    return src.mapInPandas(run, TOA_OUT_SCHEMA)
+
+
+def stack_bands(toa_df: DataFrame, bands: list[int]) -> DataFrame:
+    """Optional sink-side band stacking (one row per tile with the
+    band planes in order) — the Spark analogue of the reference's
+    multi-band GeoTIFF assembly (rio_toa/reflectance.py:198-210).
+    The only shuffle in the TOA path, and only when requested."""
+    order = F.array_position(F.array(*[F.lit(b) for b in bands]), F.col("band"))
+    return (
+        toa_df.withColumn("_ord", order)
+        .groupBy("scene_id", "tile_row", "tile_col", "width", "height", "dtype")
+        .agg(
+            F.sort_array(F.collect_list(F.struct(F.col("_ord"), F.col("band"), F.col("pixels")))).alias("_planes")
+        )
+        .select(
+            "scene_id",
+            "tile_row",
+            "tile_col",
+            "width",
+            "height",
+            "dtype",
+            F.transform("_planes", lambda p: p["band"]).alias("bands"),
+            F.transform("_planes", lambda p: p["pixels"]).alias("planes"),
+        )
+    )
+
+
+def tile_stats(toa_df: DataFrame) -> DataFrame:
+    """Per-tile min/max/mean over the decoded payload — the engine's
+    form of the whole-array reductions the reference uses for overflow
+    checks and tests (rio_toa/toa_utils.py:131-136)."""
+    schema = T.StructType(
+        [f for f in _OUT_FIELDS if f.name != "pixels"]
+        + [
+            T.StructField("px_min", T.DoubleType()),
+            T.StructField("px_max", T.DoubleType()),
+            T.StructField("px_mean", T.DoubleType()),
+        ]
+    )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            mins, maxs, means = [], [], []
+            for row in pdf.itertuples(index=False):
+                arr = np.frombuffer(row.pixels, dtype=np.dtype(row.dtype))
+                finite = arr[np.isfinite(arr.astype(np.float64))]
+                mins.append(float(finite.min()) if finite.size else float("nan"))
+                maxs.append(float(finite.max()) if finite.size else float("nan"))
+                means.append(float(finite.mean()) if finite.size else float("nan"))
+            yield pd.DataFrame(
+                {
+                    "scene_id": pdf["scene_id"],
+                    "band": pdf["band"],
+                    "tile_row": pdf["tile_row"],
+                    "tile_col": pdf["tile_col"],
+                    "width": pdf["width"],
+                    "height": pdf["height"],
+                    "dtype": pdf["dtype"],
+                    "px_min": mins,
+                    "px_max": maxs,
+                    "px_mean": means,
+                }
+            )
+
+    return toa_df.mapInPandas(run, schema)

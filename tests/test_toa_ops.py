@@ -1,0 +1,159 @@
+"""End-to-end DataFrame TOA pipeline vs the independent numpy oracle:
+scan -> broadcast scene join -> Arrow kernel -> collect, compared
+bit-for-bit (float32 buffers) per tile. This is the DataFrame port of
+the reference's golden-file tests (tests/test_radiance.py:79-123,
+test_reflectance.py:144-232) with exact equality instead of
+flex_compare fuzz."""
+
+import json
+
+import numpy as np
+import pyarrow.parquet as pq
+import pytest
+
+from rio_toa_spark.operators import toa
+from rio_toa_spark.sources import fixtures as fx
+
+from . import oracle
+
+
+def _tiles_by_key(path, band):
+    table = pq.read_table(path).to_pylist()
+    return {
+        (r["scene_id"], r["band"], r["tile_row"], r["tile_col"]): r
+        for r in table
+        if r["band"] == band
+    }
+
+
+def _mtl_by_scene(path):
+    table = pq.read_table(path).to_pylist()
+    return {r["scene_id"]: json.loads(r["mtl_json"]) for r in table}
+
+
+@pytest.fixture(scope="module")
+def mtls(fixture_paths):
+    return _mtl_by_scene(fixture_paths["scenes"])
+
+
+def test_radiance_pipeline_bitwise(spark, tiles_df, scenes_df, fixture_paths, mtls):
+    band = 5
+    out = toa.radiance_tiles(tiles_df, scenes_df, band=band).collect()
+    raw = _tiles_by_key(fixture_paths["tiles"], band)
+    assert len(out) == len(raw) > 0
+    for row in out:
+        src = raw[(row.scene_id, row.band, row.tile_row, row.tile_col)]
+        dn = np.frombuffer(src["pixels"], dtype="<u2").reshape(src["height"], src["width"])
+        rr = mtls[row.scene_id]["L1_METADATA_FILE"]["RADIOMETRIC_RESCALING"]
+        expected = oracle.radiance_worker(
+            dn, rr["RADIANCE_MULT_BAND_5"], rr["RADIANCE_ADD_BAND_5"],
+            src["nodata"], 1.0, np.float32, clip=True,
+        )
+        got = np.frombuffer(row.pixels, dtype=np.float32).reshape(row.height, row.width)
+        assert got.tobytes() == expected.tobytes()  # bitwise float32
+
+
+def test_radiance_uint8_rescale(spark, tiles_df, scenes_df, fixture_paths, mtls):
+    band = 4
+    out = toa.radiance_tiles(tiles_df, scenes_df, band=band, dst_dtype="uint8").collect()
+    raw = _tiles_by_key(fixture_paths["tiles"], band)
+    for row in out[:4]:
+        src = raw[(row.scene_id, row.band, row.tile_row, row.tile_col)]
+        dn = np.frombuffer(src["pixels"], dtype="<u2").reshape(src["height"], src["width"])
+        rr = mtls[row.scene_id]["L1_METADATA_FILE"]["RADIOMETRIC_RESCALING"]
+        expected = oracle.radiance_worker(
+            dn, rr["RADIANCE_MULT_BAND_4"], rr["RADIANCE_ADD_BAND_4"],
+            src["nodata"], 255, np.uint8, clip=True,
+        )
+        got = np.frombuffer(row.pixels, dtype=np.uint8).reshape(row.height, row.width)
+        assert np.array_equal(got, expected)
+
+
+def test_reflectance_scene_center_bitwise(spark, tiles_df, scenes_df, fixture_paths, mtls):
+    bands = [2, 3]
+    out = toa.reflectance_tiles(tiles_df, scenes_df, bands=bands).collect()
+    assert {r.band for r in out} == set(bands)
+    for row in out:
+        raw = _tiles_by_key(fixture_paths["tiles"], row.band)
+        src = raw[(row.scene_id, row.band, row.tile_row, row.tile_col)]
+        dn = np.frombuffer(src["pixels"], dtype="<u2").reshape(src["height"], src["width"])
+        meta = mtls[row.scene_id]["L1_METADATA_FILE"]
+        rr = meta["RADIOMETRIC_RESCALING"]
+        expected = oracle.reflectance_worker(
+            dn,
+            [rr["REFLECTANCE_MULT_BAND_%d" % row.band]],
+            [rr["REFLECTANCE_ADD_BAND_%d" % row.band]],
+            meta["IMAGE_ATTRIBUTES"]["SUN_ELEVATION"],
+            src["nodata"], 1.0, np.float32, clip=True,
+        )
+        got = np.frombuffer(row.pixels, dtype=np.float32).reshape(1, row.height, row.width)
+        assert got.tobytes() == expected.tobytes()
+
+
+def test_reflectance_per_pixel_sun_bitwise(spark, tiles_df, scenes_df, fixture_paths, mtls):
+    out = toa.reflectance_tiles(
+        tiles_df, scenes_df, bands=[5], per_pixel_sun=True
+    ).collect()
+    raw = _tiles_by_key(fixture_paths["tiles"], 5)
+    assert len(out) == len(raw)
+    for row in out:
+        src = raw[(row.scene_id, row.band, row.tile_row, row.tile_col)]
+        dn = np.frombuffer(src["pixels"], dtype="<u2").reshape(src["height"], src["width"])
+        meta = mtls[row.scene_id]["L1_METADATA_FILE"]
+        rr = meta["RADIOMETRIC_RESCALING"]
+        expected = oracle.reflectance_worker(
+            dn,
+            [rr["REFLECTANCE_MULT_BAND_5"]],
+            [rr["REFLECTANCE_ADD_BAND_5"]],
+            None,
+            src["nodata"], 1.0, np.float32, clip=True,
+            pixel_sunangle=True,
+            bbox=[src["bounds_w"], src["bounds_s"], src["bounds_e"], src["bounds_n"]],
+            date_str=meta["PRODUCT_METADATA"]["DATE_ACQUIRED"],
+            time_str=meta["PRODUCT_METADATA"]["SCENE_CENTER_TIME"],
+        )
+        got = np.frombuffer(row.pixels, dtype=np.float32).reshape(1, row.height, row.width)
+        assert got.tobytes() == expected.tobytes()
+
+
+def test_brightness_temp_bitwise_and_scales(spark, tiles_df, scenes_df, fixture_paths, mtls):
+    for scale in ("K", "C"):
+        out = toa.brightness_temp_tiles(
+            tiles_df, scenes_df, band=10, temp_scale=scale
+        ).collect()
+        raw = _tiles_by_key(fixture_paths["tiles"], 10)
+        assert len(out) == len(raw)
+        for row in out[:4]:
+            src = raw[(row.scene_id, row.band, row.tile_row, row.tile_col)]
+            dn = np.frombuffer(src["pixels"], dtype="<u2").reshape(src["height"], src["width"])
+            meta = mtls[row.scene_id]["L1_METADATA_FILE"]
+            rr = meta["RADIOMETRIC_RESCALING"]
+            tc = meta["TIRS_THERMAL_CONSTANTS"]
+            expected = oracle.brightness_temp_worker(
+                dn, rr["RADIANCE_MULT_BAND_10"], rr["RADIANCE_ADD_BAND_10"],
+                tc["K1_CONSTANT_BAND_10"], tc["K2_CONSTANT_BAND_10"],
+                0, scale, np.float32,
+            )
+            got = np.frombuffer(row.pixels, dtype=np.float32).reshape(row.height, row.width)
+            assert got.tobytes() == expected.tobytes()
+
+
+def test_stack_bands_orders_planes(spark, tiles_df, scenes_df):
+    refl = toa.reflectance_tiles(tiles_df, scenes_df, bands=[4, 3, 2])
+    stacked = toa.stack_bands(refl, bands=[4, 3, 2]).collect()
+    assert len(stacked) > 0
+    for row in stacked:
+        assert row.bands == [4, 3, 2]
+        assert len(row.planes) == 3
+
+
+def test_tile_stats_masks_nan(spark, tiles_df, scenes_df):
+    bt = toa.brightness_temp_tiles(tiles_df, scenes_df, band=10)
+    stats = toa.tile_stats(bt).collect()
+    assert all(np.isfinite(r.px_min) and r.px_min > 0 for r in stats)  # Kelvin
+
+
+def test_radiance_plan_is_broadcast_and_shuffle_free(spark, tiles_df, scenes_df):
+    plan = toa.radiance_tiles(tiles_df, scenes_df, band=5)._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan
+    assert "Exchange hashpartitioning" not in plan
