@@ -1,0 +1,364 @@
+"""Spatial join + tiling operators over web-page points and raster
+footprints — the graft layer required by the north rule (no reference
+counterpart; BASELINE.json north_rule / SURVEY.md §2.3 J3).
+
+Design:
+
+* Every point gets ONE level-L cell id; every footprint explodes into
+  its (few) covering cells. The equi-join on cell is the prune step
+  Catalyst can plan natively; an exact inclusive bbox predicate is the
+  refine step. Because a point has exactly one cell, the cell join
+  introduces no duplicate (point, footprint) pairs — no dedup pass.
+* Three physical strategies, all proven result-identical in tests:
+    - 'broadcast' (default): broadcast the exploded footprint side;
+      zero shuffle on the page side. Right whenever footprints fit the
+      broadcast threshold (scenes/tiles are dimension-sized even at
+      100 TB of pages).
+    - 'salted': shuffle hash join with the page side salted on
+      pmod(xxhash64(url), S) and the footprint side replicated S ways.
+      The explicit skew treatment for hot cells when the footprint
+      side outgrows broadcast; AQE skew-join remains on as backstop.
+    - 'index': mapInPandas with a broadcast RectIndex (the STRtree
+      analogue) — pure map, candidate+refine fused in numpy.
+* kNN page->tile: broadcast tile centroids into an Arrow batch kernel
+  (exact, vectorized) or cell-ring candidate expansion + windowed
+  row_number for the non-broadcastable case. Deterministic
+  tie-breaking on (distance, tile_id).
+
+The cell id is Morton (Z-order), computed by *native Spark SQL bit
+arithmetic* — no UDF on the hot path — so range-partitioning by cell
+id clusters spatially (Z-order locality) and Catalyst can fold/push
+the expression.
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from rio_toa_spark.spatial import cells as cell_mod
+from rio_toa_spark.spatial.index import RectIndex
+
+DEFAULT_LEVEL = cell_mod.DEFAULT_LEVEL
+
+
+# ---------------------------------------------------------------- cells
+
+
+def _spread_bits(col: Column) -> Column:
+    """Interleave-ready bit spread (Morton), SQL-side — mirrors
+    cells._part1by1 so SQL and numpy agree bit-for-bit."""
+    col = col.bitwiseAND(F.lit(0xFFFF))
+    col = (col.bitwiseOR(F.shiftleft(col, 8))).bitwiseAND(F.lit(0x00FF00FF))
+    col = (col.bitwiseOR(F.shiftleft(col, 4))).bitwiseAND(F.lit(0x0F0F0F0F))
+    col = (col.bitwiseOR(F.shiftleft(col, 2))).bitwiseAND(F.lit(0x33333333))
+    col = (col.bitwiseOR(F.shiftleft(col, 1))).bitwiseAND(F.lit(0x55555555))
+    return col
+
+
+def grid_xy_expr(lon: Column, lat: Column, level: int = DEFAULT_LEVEL) -> tuple[Column, Column]:
+    n = 1 << level
+    x = F.floor((lon - F.lit(-180.0)) / F.lit(360.0) * F.lit(n)).cast("long")
+    y = F.floor((lat - F.lit(-90.0)) / F.lit(180.0) * F.lit(n)).cast("long")
+    clamp = lambda c: F.greatest(F.lit(0), F.least(F.lit(n - 1), c))  # noqa: E731
+    return clamp(x), clamp(y)
+
+
+def cell_expr(lon: Column, lat: Column, level: int = DEFAULT_LEVEL) -> Column:
+    """Native-SQL Morton cell id of a point — bit-identical to
+    cells.cell_of_points."""
+    x, y = grid_xy_expr(lon, lat, level)
+    return _spread_bits(x).bitwiseOR(F.shiftleft(_spread_bits(y), 1))
+
+
+def with_cell(df: DataFrame, lon: str = "lon", lat: str = "lat", level: int = DEFAULT_LEVEL, out: str = "cell") -> DataFrame:
+    return df.withColumn(out, cell_expr(F.col(lon), F.col(lat), level))
+
+
+# ----------------------------------------------------------- footprints
+
+
+def scene_footprints(scenes_df: DataFrame) -> DataFrame:
+    """scene_id + WGS84 bbox from MTL corner products (the columnar
+    form of rio_toa/toa_utils.py:111-118)."""
+    from rio_toa_spark.operators.toa import prepare_scenes
+
+    pm = F.col("mtl.L1_METADATA_FILE.PRODUCT_METADATA")
+    lats = [pm["CORNER_%s_LAT_PRODUCT" % c] for c in ("LL", "LR", "UR", "UL")]
+    lons = [pm["CORNER_%s_LON_PRODUCT" % c] for c in ("LL", "LR", "UR", "UL")]
+    return prepare_scenes(scenes_df).select(
+        "scene_id",
+        F.least(*lons).alias("fw"),
+        F.least(*lats).alias("fs"),
+        F.greatest(*lons).alias("fe"),
+        F.greatest(*lats).alias("fn"),
+    )
+
+
+def tile_footprints(tiles_df: DataFrame) -> DataFrame:
+    """Distinct tile geometries (band-independent) with a stable
+    sortable tile_id."""
+    return (
+        tiles_df.select(
+            "scene_id",
+            "tile_row",
+            "tile_col",
+            F.col("bounds_w").alias("fw"),
+            F.col("bounds_s").alias("fs"),
+            F.col("bounds_e").alias("fe"),
+            F.col("bounds_n").alias("fn"),
+        )
+        .dropDuplicates(["scene_id", "tile_row", "tile_col"])
+        .withColumn(
+            "tile_id",
+            F.concat_ws("/", F.col("scene_id"), F.col("tile_row"), F.col("tile_col")),
+        )
+    )
+
+
+def _explode_cover(footprints: DataFrame, level: int) -> DataFrame:
+    """footprint -> one row per covering cell. Covering cells of a
+    bbox form a contiguous grid-index rectangle; enumerate it with a
+    native sequence+transform (no Python on this side either)."""
+    n = 1 << level
+    x0, y0 = grid_xy_expr(F.col("fw"), F.col("fs"), level)
+    x1, y1 = grid_xy_expr(F.col("fe"), F.col("fn"), level)
+    out = (
+        footprints.withColumn("_xs", F.sequence(x0, x1))
+        .withColumn("_ys", F.sequence(y0, y1))
+        .withColumn("_x", F.explode("_xs"))
+        .withColumn("_y", F.explode("_ys"))
+        .withColumn("cell", _spread_bits(F.col("_x")).bitwiseOR(F.shiftleft(_spread_bits(F.col("_y")), 1)))
+        .drop("_xs", "_ys", "_x", "_y")
+    )
+    return out
+
+
+_CONTAINS = (
+    "(lon >= fw) AND (lon <= fe) AND (lat >= fs) AND (lat <= fn)"
+)
+
+
+def pip_join(
+    points_df: DataFrame,
+    footprints_df: DataFrame,
+    level: int = DEFAULT_LEVEL,
+    strategy: str = "broadcast",
+    salt: int = 8,
+    lon: str = "lon",
+    lat: str = "lat",
+) -> DataFrame:
+    """Point-in-footprint inner join.
+
+    Returns the point columns + the footprint id columns (everything in
+    footprints_df except fw/fs/fe/fn). Inclusive boundaries, matching
+    the DuckDB oracle's BETWEEN semantics.
+    """
+    fp_id_cols = [c for c in footprints_df.columns if c not in ("fw", "fs", "fe", "fn")]
+    pts = with_cell(points_df, lon, lat, level)
+
+    if strategy == "index":
+        return _pip_index_join(points_df, footprints_df, fp_id_cols, lon, lat)
+
+    cover = _explode_cover(footprints_df, level)
+    refine = (
+        (F.col(lon) >= F.col("fw"))
+        & (F.col(lon) <= F.col("fe"))
+        & (F.col(lat) >= F.col("fs"))
+        & (F.col(lat) <= F.col("fn"))
+    )
+
+    if strategy == "broadcast":
+        joined = pts.join(F.broadcast(cover), "cell").where(refine)
+    elif strategy == "salted":
+        salted_pts = pts.withColumn("_salt", F.pmod(F.xxhash64(F.col(lon), F.col(lat)), F.lit(salt)))
+        replicated = cover.withColumn(
+            "_salt", F.explode(F.sequence(F.lit(0), F.lit(salt - 1)))
+        )
+        joined = salted_pts.join(replicated, ["cell", "_salt"]).where(refine).drop("_salt")
+    else:
+        raise ValueError("unknown strategy %r" % strategy)
+
+    return joined.drop("cell", "fw", "fs", "fe", "fn")
+
+
+def _pip_index_join(points_df, footprints_df, fp_id_cols, lon, lat):
+    """Broadcast-RectIndex refine inside mapInPandas (the STRtree-style
+    plan): candidate search + exact containment fused, zero shuffle."""
+    spark = points_df.sparkSession
+    fps = footprints_df.select("fw", "fs", "fe", "fn", *fp_id_cols).collect()
+    idx = RectIndex(
+        [r.fw for r in fps],
+        [r.fs for r in fps],
+        [r.fe for r in fps],
+        [r.fn for r in fps],
+        np.arange(len(fps), dtype=np.int64),
+    )
+    payload = [[getattr(r, c) for c in fp_id_cols] for r in fps]
+    bc = spark.sparkContext.broadcast((idx, payload))
+
+    pt_schema = points_df.schema
+    out_schema = T.StructType(
+        list(pt_schema.fields)
+        + [footprints_df.schema[c] for c in fp_id_cols]
+    )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        index, fp_payload = bc.value
+        for pdf in batches:
+            pt_idx, box_ids = index.query_points(pdf[lon].to_numpy(), pdf[lat].to_numpy())
+            left = pdf.iloc[pt_idx].reset_index(drop=True)
+            for j, col in enumerate(fp_id_cols):
+                left[col] = [fp_payload[int(b)][j] for b in box_ids]
+            yield left
+
+    return points_df.mapInPandas(run, out_schema)
+
+
+# ------------------------------------------------------------------ kNN
+
+
+def knn_join(
+    points_df: DataFrame,
+    tiles_df: DataFrame,
+    k: int = 3,
+    strategy: str = "broadcast",
+    level: int = DEFAULT_LEVEL,
+    ring_radius: int = 2,
+    lon: str = "lon",
+    lat: str = "lat",
+    point_key: str = "url",
+) -> DataFrame:
+    """k nearest tile centroids per point (euclidean in degrees),
+    deterministic tie-break on (distance, tile_id).
+
+    'broadcast': exact brute-force against broadcast centroids inside
+    an Arrow kernel — the right plan while tiles are dimension-sized.
+    'cells': cell-ring candidate expansion + window row_number — the
+    shuffle-based plan for a non-broadcastable tile side; rings expand
+    until the k-th candidate's distance is provably covered
+    (ring r guarantees all tiles within (r) cells; a candidate set is
+    complete once kth_dist <= r * min_cell_extent).
+    """
+    tiles = tile_footprints(tiles_df).select(
+        "tile_id",
+        ((F.col("fw") + F.col("fe")) / 2).alias("cx"),
+        ((F.col("fs") + F.col("fn")) / 2).alias("cy"),
+    )
+    if strategy == "broadcast":
+        return _knn_broadcast(points_df, tiles, k, lon, lat, point_key)
+    if strategy == "cells":
+        return _knn_cells(points_df, tiles, k, level, ring_radius, lon, lat, point_key)
+    raise ValueError("unknown strategy %r" % strategy)
+
+
+def _knn_broadcast(points_df, tiles, k, lon, lat, point_key):
+    spark = points_df.sparkSession
+    tile_rows = tiles.orderBy("tile_id").collect()
+    ids = [r.tile_id for r in tile_rows]
+    cx = np.array([r.cx for r in tile_rows])
+    cy = np.array([r.cy for r in tile_rows])
+    bc = spark.sparkContext.broadcast((ids, cx, cy))
+
+    out_schema = T.StructType(
+        [
+            points_df.schema[point_key],
+            T.StructField("tile_id", T.StringType()),
+            T.StructField("dist", T.DoubleType()),
+            T.StructField("rank", T.IntegerType()),
+        ]
+    )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        tids, tx, ty = bc.value
+        tid_arr = np.array(tids)
+        for pdf in batches:
+            px = pdf[lon].to_numpy()[:, None]
+            py = pdf[lat].to_numpy()[:, None]
+            d = np.sqrt((px - tx[None, :]) ** 2 + (py - ty[None, :]) ** 2)
+            # deterministic (dist, tile_id) order: tids sorted, stable argsort
+            order = np.argsort(d, axis=1, kind="stable")[:, :k]
+            n_pts, kk = order.shape
+            yield pd.DataFrame(
+                {
+                    point_key: np.repeat(pdf[point_key].to_numpy(), kk),
+                    "tile_id": tid_arr[order].ravel(),
+                    "dist": np.take_along_axis(d, order, axis=1).ravel(),
+                    "rank": np.tile(np.arange(1, kk + 1), n_pts),
+                }
+            )
+
+    return points_df.mapInPandas(run, out_schema)
+
+
+def _knn_cells(points_df, tiles, k, level, radius, lon, lat, point_key):
+    """Cell-ring candidate generation + windowed top-k, with an exact
+    fallback for incomplete points.
+
+    Each tile is replicated into every cell within Chebyshev radius R
+    of its centroid's cell; points equi-join on their own cell, then a
+    (point) window takes the top-k by (dist, tile_id). Completeness
+    proof: a tile whose centroid cell is Chebyshev-further than R from
+    the point's cell is at least R*min(cell_dx, cell_dy) degrees away,
+    so a point's ring result is provably exact iff it found >= k
+    candidates AND its kth distance < R*min(dx, dy). Points failing
+    either condition (sparse regions — e.g. mid-ocean pages) are
+    rerouted through the exact broadcast kernel; the union is exact
+    for every point. One candidate shuffle + one window shuffle; the
+    straggler set is tiny by construction.
+    """
+    from pyspark.sql.window import Window
+
+    dx, dy = cell_mod.cell_size_degrees(level)
+    guard = radius * min(dx, dy)
+    n = 1 << level
+    pts = with_cell(points_df, lon, lat, level)
+
+    tx, ty = grid_xy_expr(F.col("cx"), F.col("cy"), level)
+    cand = (
+        tiles.withColumn("_tx", tx)
+        .withColumn("_ty", ty)
+        .withColumn("_ox", F.explode(F.sequence(F.lit(-radius), F.lit(radius))))
+        .withColumn("_oy", F.explode(F.sequence(F.lit(-radius), F.lit(radius))))
+        .withColumn("_gx", F.col("_tx") + F.col("_ox"))
+        .withColumn("_gy", F.col("_ty") + F.col("_oy"))
+        .where((F.col("_gx") >= 0) & (F.col("_gx") < n) & (F.col("_gy") >= 0) & (F.col("_gy") < n))
+        .withColumn("cell", _spread_bits(F.col("_gx")).bitwiseOR(F.shiftleft(_spread_bits(F.col("_gy")), 1)))
+        .select("tile_id", "cx", "cy", "cell")
+    )
+    dist = F.sqrt((F.col(lon) - F.col("cx")) ** 2 + (F.col(lat) - F.col("cy")) ** 2)
+    w = Window.partitionBy(point_key).orderBy(F.col("dist").asc(), F.col("tile_id").asc())
+    ranked = (
+        pts.join(cand, "cell")
+        .withColumn("dist", dist)
+        .withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select(point_key, "tile_id", "dist", F.col("rank").cast("int").alias("rank"))
+    )
+    complete_keys = (
+        ranked.groupBy(point_key)
+        .agg(F.count("*").alias("n"), F.max("dist").alias("kth"))
+        .where((F.col("n") == k) & (F.col("kth") < F.lit(guard)))
+        .select(point_key)
+    )
+    exact_part = ranked.join(complete_keys, point_key)
+    stragglers = points_df.join(complete_keys, point_key, "left_anti")
+    fallback = _knn_broadcast(stragglers, tiles, k, lon, lat, point_key)
+    return exact_part.unionByName(fallback)
+
+
+# ----------------------------------------------------------- partitioning
+
+
+def repartition_by_cell(df: DataFrame, num_partitions: int | None = None, level: int = DEFAULT_LEVEL, lon: str = "lon", lat: str = "lat") -> DataFrame:
+    """Explicit range-partitioned shuffle on the Z-order cell id —
+    spatially clustered output partitions (north rule: 'explicit
+    range-partitioned shuffles')."""
+    out = with_cell(df, lon, lat, level, out="_range_cell")
+    parts = num_partitions or df.sparkSession.sparkContext.defaultParallelism
+    return out.repartitionByRange(parts, "_range_cell").drop("_range_cell")
