@@ -1,0 +1,123 @@
+"""Web-text operators: extraction, language ID, quality scoring,
+token counting, fingerprinting.
+
+All hot-path expressions are native Spark SQL (JVM, whole-stage
+codegen); nothing here drops to Python. Every operator has an exact
+ANSI-SQL twin runnable by DuckDB (see __spark_entry__.oracle_sql) —
+the cross-engine-portable hash primitive is
+``int64(md5(x)[:15 hex digits])``.
+
+extract_text upholds the graft's per-row invariant: the text column
+recovered from html is byte-identical per url (BASELINE.json
+input_hint).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+TOKEN_RE = r"([A-Za-z0-9]+)"
+
+# n-gram heuristic language profiles: high-frequency function words.
+LANG_PROFILES = {
+    "en": ["the", "and", "of", "to", "in", "is", "that", "it", "was", "for"],
+    "de": ["der", "die", "und", "das", "ist", "nicht", "ein", "mit", "sich", "auf"],
+    "fr": ["le", "la", "et", "les", "des", "est", "une", "dans", "que", "pour"],
+    "es": ["el", "la", "que", "de", "los", "una", "es", "por", "con", "para"],
+}
+
+
+def portable_hash64(col: Column) -> Column:
+    """Unsigned-ish 60-bit integer hash identical across Spark and
+    DuckDB: both implement standard MD5; 15 hex chars < 2^60 fit int64.
+    DuckDB twin: CAST(('0x' || substring(md5(x), 1, 15)) AS BIGINT)."""
+    return F.conv(F.substring(F.md5(col), 1, 15), 16, 10).cast("long")
+
+
+def extract_text(html_col: Column) -> Column:
+    """Recover the text payload from the deterministic HTML wrapper
+    (sources/fixtures.page_html). Byte-identical inversion —
+    regexp with DOTALL so embedded newlines survive."""
+    return F.regexp_extract(F.decode(html_col, "UTF-8"), r"(?s)<p>(.*)</p>", 1)
+
+
+def with_extracted_text(pages_df: DataFrame, html: str = "html", out: str = "extracted_text") -> DataFrame:
+    return pages_df.withColumn(out, extract_text(F.col(html)))
+
+
+def token_count(text_col: Column) -> Column:
+    """Number of [A-Za-z0-9]+ tokens (regexp-based BPE-ish pre-token
+    count)."""
+    return F.size(F.regexp_extract_all(text_col, F.lit(TOKEN_RE)))
+
+
+def char_count(text_col: Column) -> Column:
+    return F.length(text_col)
+
+
+def quality_features(df: DataFrame, text: str = "text") -> DataFrame:
+    """Length / punctuation / stopword-ratio quality features, the
+    standard pre-training text-quality signals, all codegen'd SQL."""
+    tcol = F.col(text)
+    tokens = F.regexp_extract_all(F.lower(tcol), F.lit(TOKEN_RE))
+    stop = F.array([F.lit(w) for w in LANG_PROFILES["en"]])
+    n_tokens = F.size(tokens)
+    return (
+        df.withColumn("n_chars_", F.length(tcol))
+        .withColumn("n_tokens", n_tokens)
+        .withColumn(
+            "mean_token_len",
+            F.when(n_tokens > 0, F.aggregate(F.transform(tokens, lambda t: F.length(t).cast("double")), F.lit(0.0), lambda a, x: a + x) / n_tokens).otherwise(F.lit(0.0)),
+        )
+        .withColumn(
+            "punct_ratio",
+            F.when(
+                F.length(tcol) > 0,
+                (F.length(tcol) - F.length(F.regexp_replace(tcol, r"[^\w\s]", ""))).cast("double") / F.length(tcol),
+            ).otherwise(F.lit(0.0)),
+        )
+        .withColumn(
+            "stopword_ratio",
+            F.when(
+                n_tokens > 0,
+                F.size(F.filter(tokens, lambda t: F.array_contains(stop, t))).cast("double") / n_tokens,
+            ).otherwise(F.lit(0.0)),
+        )
+    )
+
+
+def language_scores(text_col: Column) -> Column:
+    """Map of lang -> stopword-hit ratio (the n-gram heuristic
+    language-ID signal)."""
+    tokens = F.regexp_extract_all(F.lower(text_col), F.lit(TOKEN_RE))
+    n = F.greatest(F.size(tokens), F.lit(1))
+    entries = []
+    for lang, words in LANG_PROFILES.items():
+        vocab = F.array([F.lit(w) for w in words])
+        hits = F.size(F.filter(tokens, lambda t: F.array_contains(vocab, t)))
+        entries.append(F.struct(F.lit(lang).alias("lang"), (hits.cast("double") / n).alias("score")))
+    return F.map_from_entries(F.array(*entries))
+
+
+def detect_language(df: DataFrame, text: str = "text", out: str = "lang_pred") -> DataFrame:
+    """argmax over language_scores with deterministic lang-name
+    tie-break."""
+    scores = language_scores(F.col(text)).alias("_scores")
+    df = df.withColumn("_scores", scores)
+    best = F.array_max(
+        F.transform(
+            F.map_entries(F.col("_scores")),
+            lambda e: F.struct(e["value"].alias("score"), e["key"].alias("lang")),
+        )
+    )
+    # array_max on struct orders by (score, lang); invert lang order for
+    # a deterministic smallest-name winner among ties
+    return df.withColumn(out, best["lang"]).drop("_scores")
+
+
+def doc_fingerprint(text_col: Column) -> Column:
+    """Document fingerprint: portable 60-bit hash of the
+    whitespace-normalized text (rolling-hash-equivalent content id)."""
+    normalized = F.regexp_replace(F.trim(text_col), r"\s+", " ")
+    return portable_hash64(normalized)
