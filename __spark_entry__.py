@@ -1,38 +1,764 @@
-"""Driver contract for the spark-graft builder (PySpark target).
+"""Driver contract for the rio_toa_spark engine.
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``queries()`` exposes every operator family from SURVEY.md §2 over the
+driver-provided tables; ``oracle_sql()`` provides exact DuckDB twins.
+Cross-engine-exact building blocks used throughout:
+
+* integer/modular arithmetic and md5-based 60-bit hashes (identical in
+  Spark and DuckDB);
+* deterministic synthetic geometry derived from integer keys (points
+  from documents, boxes from part, centroids from supplier) so the
+  spatial joins have closed-form SQL oracles;
+* explicit sequential folds (Spark ``aggregate`` == DuckDB
+  ``list_reduce``) for float reductions, and ``round()`` only where a
+  reduction order is genuinely engine-specific (plain SUM/AVG).
+
+TOA pixel pipelines over binary tiles are not SQL-expressible; they
+are exposed as rows-only queries here and bit-verified against a
+numpy oracle in tests/ (see tests/test_toa_ops.py).
 """
 
 from __future__ import annotations
 
+import os
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+_REPO = os.path.dirname(os.path.abspath(__file__))
+_ENTRY_FIXTURES = os.path.join(_REPO, ".fixtures", "entry")
+
+MERSENNE31 = (1 << 31) - 1
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(os.path.join(sf_dir, "%s.parquet" % name))
+
+
+def _fixture_paths():
+    from rio_toa_spark.sources.fixtures import ensure_fixtures
+
+    return ensure_fixtures(_ENTRY_FIXTURES, n_scenes=4, grid=2, tile_size=128, n_pages=1200)
+
+
+# ---------------------------------------------------------------------
+# deterministic synthetic geometry (identical closed forms in both
+# engines; all integer ops then one exact double division)
+# ---------------------------------------------------------------------
+
+
+def _doc_points(spark, sf_dir):
+    return _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        ((F.col("doc_id") * 7919 % 36000) / 100.0 - 180.0).alias("lon"),
+        ((F.col("doc_id") * 104729 % 18000) / 100.0 - 90.0).alias("lat"),
+    )
+
+
+_DOC_POINTS_SQL = (
+    "SELECT doc_id, (doc_id * 7919 % 36000) / 100.0 - 180.0 AS lon, "
+    "(doc_id * 104729 % 18000) / 100.0 - 90.0 AS lat FROM documents"
+)
+
+
+def _part_boxes(spark, sf_dir):
+    p = _t(spark, sf_dir, "part").where(F.col("p_partkey") < 150)
+    fw = (F.col("p_partkey") * 131 % 34000) / 100.0 - 180.0
+    fs = (F.col("p_partkey") * 37 % 16000) / 100.0 - 90.0
+    return p.select(
+        "p_partkey",
+        fw.alias("fw"),
+        fs.alias("fs"),
+        (fw + 12.0).alias("fe"),
+        (fs + 10.0).alias("fn"),
+    )
+
+
+_PART_BOXES_SQL = (
+    "SELECT p_partkey, (p_partkey * 131 % 34000) / 100.0 - 180.0 AS fw, "
+    "(p_partkey * 37 % 16000) / 100.0 - 90.0 AS fs, "
+    "(p_partkey * 131 % 34000) / 100.0 - 180.0 + 12.0 AS fe, "
+    "(p_partkey * 37 % 16000) / 100.0 - 90.0 + 10.0 AS fn "
+    "FROM part WHERE p_partkey < 150"
+)
+
+
+def _supplier_centroids(spark, sf_dir):
+    s = _t(spark, sf_dir, "supplier")
+    return s.select(
+        F.lpad(F.col("s_suppkey").cast("string"), 5, "0").alias("tile_id"),
+        ((F.col("s_suppkey") * 211 % 36000) / 100.0 - 180.0).alias("cx"),
+        ((F.col("s_suppkey") * 109 % 18000) / 100.0 - 90.0).alias("cy"),
+    )
+
+
+_SUPPLIER_CENTROIDS_SQL = (
+    "SELECT lpad(CAST(s_suppkey AS VARCHAR), 5, '0') AS tile_id, "
+    "(s_suppkey * 211 % 36000) / 100.0 - 180.0 AS cx, "
+    "(s_suppkey * 109 % 18000) / 100.0 - 90.0 AS cy FROM supplier"
+)
+
+
+def _duck_spread(expr: str) -> str:
+    """DuckDB twin of spatial_join._spread_bits (Morton bit spread)."""
+    s = "((%s) & 65535)" % expr
+    s = "(((%s) | ((%s) << 8)) & 16711935)" % (s, s)
+    s = "(((%s) | ((%s) << 4)) & 252645135)" % (s, s)
+    s = "(((%s) | ((%s) << 2)) & 858993459)" % (s, s)
+    s = "(((%s) | ((%s) << 1)) & 1431655765)" % (s, s)
+    return s
+
+
+def _duck_grid(axis_expr: str, origin: float, extent: float, n: int) -> str:
+    raw = "CAST(FLOOR((%s - (%.1f)) / %.1f * %d) AS BIGINT)" % (axis_expr, origin, extent, n)
+    return "GREATEST(0, LEAST(%d, %s))" % (n - 1, raw)
+
+
+def _duck_cell(lon: str, lat: str, level: int) -> str:
+    n = 1 << level
+    x = _duck_grid(lon, -180.0, 360.0, n)
+    y = _duck_grid(lat, -90.0, 180.0, n)
+    return "(%s | (%s << 1))" % (_duck_spread(x), _duck_spread(y))
+
+
+_SHINGLES_SQL = r"""
+    CASE WHEN len(__toks) >= 3 THEN
+      list_distinct(list_transform(range(1, len(__toks) - 1),
+                    i -> array_to_string(__toks[i:i+2], ' ')))
+    ELSE [array_to_string(__toks, ' ')] END
+"""
+
+_TOKS_SQL = r"string_split(regexp_replace(trim(lower(text)), '\s+', ' ', 'g'), ' ')"
+
+_H60 = "CAST(('0x' || substring(md5(%s), 1, 15)) AS BIGINT)"
+
+
+# ---------------------------------------------------------------------
+# query implementations
+# ---------------------------------------------------------------------
+
+
+def _q_radiance_scalar(spark, sf_dir):
+    # Scalar-SQL projection of the radiance kernel L = ML*Q + AL with
+    # nodata masking (kernel semantics of rio_toa/radiance.py:38-40;
+    # float32-exact tile variant in q_toa_radiance_tiles).
+    ml, al = 0.0003342, 0.1
+    li = _t(spark, sf_dir, "lineitem")
+    rad = F.when(F.col("l_quantity") == 0.0, 0.0).otherwise(
+        F.lit(ml) * F.col("l_quantity") + F.lit(al)
+    )
+    return li.select(
+        "l_orderkey", "l_linenumber", F.round(rad, 9).alias("radiance")
+    )
+
+
+def _q_reflectance_scalar(spark, sf_dir):
+    # R = clip((MR*Q + AR) / sin(radians(E)), 0, 1) — kernel of
+    # rio_toa/reflectance.py:62 + clip of toa_utils.py:127-129.
+    mr, ar, e = 2.0e-05, -0.1, 41.5
+    li = _t(spark, sf_dir, "lineitem")
+    raw = (F.lit(mr) * F.col("l_quantity") + F.lit(ar)) / F.sin(F.radians(F.lit(e)))
+    clipped = F.least(F.greatest(raw, F.lit(0.0)), F.lit(1.0))
+    masked = F.when(F.col("l_quantity") == 0.0, 0.0).otherwise(clipped)
+    return li.select("l_orderkey", "l_linenumber", F.round(masked, 9).alias("reflectance"))
+
+
+def _q_brighttemp_scalar(spark, sf_dir):
+    # T = K2 / ln(K1/L + 1) — rio_toa/brightness_temp.py:57-60.
+    ml, al, k1, k2 = 0.0003342, 0.1, 774.8853, 1321.0789
+    li = _t(spark, sf_dir, "lineitem")
+    lum = F.lit(ml) * (F.col("l_quantity") * 1000.0) + F.lit(al)
+    temp = F.lit(k2) / F.log(F.lit(k1) / lum + 1.0)
+    return li.select("l_orderkey", "l_linenumber", F.round(temp, 6).alias("btemp_k"))
+
+
+def _q_mtl_parse(spark, sf_dir):
+    # End-to-end MTL ODL parse (toa_utils.py:58-108 semantics) with a
+    # closed-form oracle: the parsed constants are exact functions of
+    # n_nationkey.
+    from rio_toa_spark.functions.mtl import with_parsed_mtl
+
+    n = _t(spark, sf_dir, "nation")
+    txt = F.format_string(
+        "GROUP = L1_METADATA_FILE\n"
+        "  GROUP = RADIOMETRIC_RESCALING\n"
+        "    RADIANCE_MULT_BAND_5 = %.3f\n"
+        "    RADIANCE_ADD_BAND_5 = %d\n"
+        "  END_GROUP = RADIOMETRIC_RESCALING\n"
+        "END_GROUP = L1_METADATA_FILE\n"
+        "END\n",
+        F.col("n_nationkey") / 8.0,
+        F.col("n_nationkey") - 60,
+    )
+    parsed = with_parsed_mtl(n.withColumn("mtl_txt", txt))
+    rr = F.col("mtl.L1_METADATA_FILE.RADIOMETRIC_RESCALING")
+    return parsed.select(
+        "n_nationkey",
+        rr["RADIANCE_MULT_BAND_5"].alias("ml"),
+        rr["RADIANCE_ADD_BAND_5"].alias("al"),
+    )
+
+
+def _q_pip_broadcast(spark, sf_dir):
+    from rio_toa_spark.operators.spatial_join import pip_join
+
+    out = pip_join(_doc_points(spark, sf_dir), _part_boxes(spark, sf_dir), level=6, strategy="broadcast")
+    return out.select("doc_id", "p_partkey")
+
+
+def _q_pip_salted(spark, sf_dir):
+    from rio_toa_spark.operators.spatial_join import pip_join
+
+    out = pip_join(_doc_points(spark, sf_dir), _part_boxes(spark, sf_dir), level=6, strategy="salted", salt=8)
+    return out.select("doc_id", "p_partkey")
+
+
+def _q_pip_index(spark, sf_dir):
+    from rio_toa_spark.operators.spatial_join import pip_join
+
+    out = pip_join(_doc_points(spark, sf_dir), _part_boxes(spark, sf_dir), strategy="index")
+    return out.select("doc_id", "p_partkey")
+
+
+_PIP_SQL = (
+    "SELECT d.doc_id, b.p_partkey FROM (%s) d JOIN (%s) b ON "
+    "d.lon >= b.fw AND d.lon <= b.fe AND d.lat >= b.fs AND d.lat <= b.fn"
+    % (_DOC_POINTS_SQL, _PART_BOXES_SQL)
+)
+
+
+def _q_knn(spark, sf_dir):
+    from rio_toa_spark.operators.spatial_join import knn_centroids
+
+    return knn_centroids(
+        _doc_points(spark, sf_dir),
+        _supplier_centroids(spark, sf_dir),
+        k=3,
+        strategy="broadcast",
+        point_key="doc_id",
+    ).select("doc_id", "tile_id", "rank")
+
+
+def _q_knn_cells(spark, sf_dir):
+    from rio_toa_spark.operators.spatial_join import knn_centroids
+
+    return knn_centroids(
+        _doc_points(spark, sf_dir),
+        _supplier_centroids(spark, sf_dir),
+        k=3,
+        strategy="cells",
+        level=5,
+        ring_radius=3,
+        point_key="doc_id",
+    ).select("doc_id", "tile_id", "rank")
+
+
+_KNN_SQL = (
+    "SELECT doc_id, tile_id, CAST(rank AS INTEGER) AS rank FROM ("
+    "  SELECT d.doc_id, c.tile_id, row_number() OVER ("
+    "    PARTITION BY d.doc_id ORDER BY sqrt((d.lon - c.cx) * (d.lon - c.cx) + (d.lat - c.cy) * (d.lat - c.cy)) ASC, c.tile_id ASC"
+    "  ) AS rank FROM (%s) d CROSS JOIN (%s) c"
+    ") WHERE rank <= 3" % (_DOC_POINTS_SQL, _SUPPLIER_CENTROIDS_SQL)
+)
+
+
+def _q_cell_assign(spark, sf_dir):
+    from rio_toa_spark.operators.spatial_join import with_cell
+
+    return with_cell(_doc_points(spark, sf_dir), level=8).select("doc_id", "cell")
+
+
+def _q_dedup_exact(spark, sf_dir):
+    from rio_toa_spark.operators.dedup import exact_dedup
+
+    d = _t(spark, sf_dir, "documents")
+    return exact_dedup(d).select("doc_id", "dup_count")
+
+
+_DEDUP_SQL = (
+    "SELECT MIN(doc_id) AS doc_id, COUNT(*) AS dup_count FROM ("
+    "  SELECT doc_id, " + (_H60 % r"regexp_replace(trim(lower(text)), '\s+', ' ', 'g')") + " AS h FROM documents"
+    ") GROUP BY h"
+)
+
+
+def _q_minhash(spark, sf_dir):
+    from rio_toa_spark.operators.dedup import minhash_signatures
+
+    d = _t(spark, sf_dir, "documents")
+    sig = minhash_signatures(d, num_hashes=8)
+    return sig.select("doc_id", F.posexplode("minhash").alias("perm_id", "sig"))
+
+
+_MINHASH_SQL = r"""
+SELECT doc_id, i AS perm_id,
+  list_min(list_transform(shingles,
+    s -> ((1103515245 * (i + 1) %% 2147483647) * (%s %% 2147483647)
+          + (12345 * (i + 1) %% 2147483647)) %% 2147483647)) AS sig
+FROM (
+  SELECT doc_id, %s AS shingles
+  FROM (SELECT doc_id, %s AS __toks FROM documents)
+) CROSS JOIN range(8) t(i)
+""" % (_H60 % "s", _SHINGLES_SQL, _TOKS_SQL)
+
+
+def _q_jaccard_pairs(spark, sf_dir):
+    from rio_toa_spark.operators.dedup import ngram_jaccard_pairs
+
+    d = _t(spark, sf_dir, "documents")
+    a = d.select(F.col("doc_id").alias("a"))
+    b = d.select(F.col("doc_id").alias("b"))
+    pairs = a.join(b, F.col("a") < F.col("b"))
+    return ngram_jaccard_pairs(d, pairs=pairs, threshold=0.05).select(
+        "a", "b", F.round("jaccard", 9).alias("jaccard")
+    )
+
+
+_JACCARD_SQL = r"""
+WITH sh AS (
+  SELECT doc_id, %s AS shingles
+  FROM (SELECT doc_id, %s AS __toks FROM documents)
+)
+SELECT a.doc_id AS a, b.doc_id AS b,
+  round(CAST(len(list_intersect(a.shingles, b.shingles)) AS DOUBLE)
+        / len(list_distinct(list_concat(a.shingles, b.shingles))), 9) AS jaccard
+FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+WHERE CAST(len(list_intersect(a.shingles, b.shingles)) AS DOUBLE)
+      / len(list_distinct(list_concat(a.shingles, b.shingles))) >= 0.05
+""" % (_SHINGLES_SQL, _TOKS_SQL)
+
+
+def _q_simhash(spark, sf_dir):
+    from rio_toa_spark.operators.dedup import simhash
+
+    d = _t(spark, sf_dir, "documents")
+    return d.select("doc_id", simhash(F.col("text"), bits=32, shingle_n=3).alias("sig"))
+
+
+def _simhash_sql() -> str:
+    hashes = "list_transform(%s, s -> %s)" % (_SHINGLES_SQL.replace("__toks", "__toks"), _H60 % "s")
+    terms = []
+    for i in range(32):
+        vote = (
+            "list_sum(list_transform(__hashes, h -> CASE WHEN (h >> %d) & 1 = 1 THEN 1 ELSE -1 END))" % i
+        )
+        terms.append("(CASE WHEN %s > 0 THEN %d ELSE 0 END)" % (vote, 1 << i))
+    return (
+        "SELECT doc_id, CAST(%s AS BIGINT) AS sig FROM ("
+        "SELECT doc_id, %s AS __hashes FROM ("
+        "SELECT doc_id, %s AS __toks FROM documents))"
+        % (" + ".join(terms), hashes, _TOKS_SQL)
+    )
+
+
+def _q_token_stats(spark, sf_dir):
+    from rio_toa_spark.operators.textstats import char_count, token_count
+
+    d = _t(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        token_count(F.col("text")).alias("n_tokens"),
+        char_count(F.col("text")).alias("n_chars_got"),
+    )
+
+
+_TOKEN_SQL = (
+    "SELECT doc_id, CAST(len(regexp_extract_all(text, '[A-Za-z0-9]+')) AS INTEGER) AS n_tokens, "
+    "CAST(length(text) AS INTEGER) AS n_chars_got FROM documents"
+)
+
+
+def _q_lang_scores(spark, sf_dir):
+    from rio_toa_spark.operators.textstats import LANG_PROFILES, language_scores
+
+    d = _t(spark, sf_dir, "documents")
+    scores = language_scores(F.col("text"))
+    return d.select(
+        "doc_id",
+        *[scores[lang].alias("score_%s" % lang) for lang in sorted(LANG_PROFILES)],
+    )
+
+
+def _lang_sql() -> str:
+    from rio_toa_spark.operators.textstats import LANG_PROFILES
+
+    cols = []
+    for lang in sorted(LANG_PROFILES):
+        vocab = ", ".join("'%s'" % w for w in LANG_PROFILES[lang])
+        cols.append(
+            "CAST(len(list_filter(__toks2, t -> list_contains([%s], t))) AS DOUBLE)"
+            " / GREATEST(len(__toks2), 1) AS score_%s" % (vocab, lang)
+        )
+    return (
+        "SELECT doc_id, %s FROM (SELECT doc_id, "
+        "regexp_extract_all(lower(text), '[A-Za-z0-9]+') AS __toks2 FROM documents)"
+        % ", ".join(cols)
+    )
+
+
+def _q_fingerprint(spark, sf_dir):
+    from rio_toa_spark.operators.textstats import doc_fingerprint
+
+    d = _t(spark, sf_dir, "documents")
+    return d.select("doc_id", doc_fingerprint(F.col("text")).alias("fp"))
+
+
+_FP_SQL = (
+    "SELECT doc_id, " + (_H60 % r"regexp_replace(trim(text), '\s+', ' ', 'g')") + " AS fp FROM documents"
+)
+
+
+def _q_quality(spark, sf_dir):
+    from rio_toa_spark.operators.textstats import quality_features
+
+    d = _t(spark, sf_dir, "documents")
+    return quality_features(d).select(
+        "doc_id",
+        "n_tokens",
+        F.round("mean_token_len", 9).alias("mean_token_len"),
+        F.round("punct_ratio", 9).alias("punct_ratio"),
+        F.round("stopword_ratio", 9).alias("stopword_ratio"),
+    )
+
+
+def _quality_sql() -> str:
+    from rio_toa_spark.operators.textstats import LANG_PROFILES
+
+    stop = ", ".join("'%s'" % w for w in LANG_PROFILES["en"])
+    return r"""
+SELECT doc_id,
+  CAST(len(__toks2) AS INTEGER) AS n_tokens,
+  round(CASE WHEN len(__toks2) > 0 THEN
+    list_reduce(list_prepend(CAST(0.0 AS DOUBLE), list_transform(__toks2, t -> CAST(length(t) AS DOUBLE))), (a, x) -> a + x) / len(__toks2)
+    ELSE 0.0 END, 9) AS mean_token_len,
+  round(CASE WHEN length(text) > 0 THEN
+    CAST(length(text) - length(regexp_replace(text, '[^\w\s]', '', 'g')) AS DOUBLE) / length(text)
+    ELSE 0.0 END, 9) AS punct_ratio,
+  round(CASE WHEN len(__toks2) > 0 THEN
+    CAST(len(list_filter(__toks2, t -> list_contains([%s], t))) AS DOUBLE) / len(__toks2)
+    ELSE 0.0 END, 9) AS stopword_ratio
+FROM (SELECT doc_id, text, regexp_extract_all(lower(text), '[A-Za-z0-9]+') AS __toks2 FROM documents)
+""" % stop
+
+
+def _q_cosine_topk(spark, sf_dir):
+    from rio_toa_spark.operators.similarity import cosine_topk
+
+    e = _t(spark, sf_dir, "embeddings")
+    q = e.where(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec")
+    )
+    return cosine_topk(e, q, k=5).select("q_id", "vec_id", "rank")
+
+
+_COSINE_SQL = """
+WITH scored AS (
+  SELECT q.vec_id AS q_id, e.vec_id,
+    list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+      list_transform(list_zip(e.embedding, q.embedding),
+                     x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE))), (a, v) -> a + v)
+    / (sqrt(list_reduce(list_prepend(CAST(0.0 AS DOUBLE), list_transform(e.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))), (a, v) -> a + v))
+       * sqrt(list_reduce(list_prepend(CAST(0.0 AS DOUBLE), list_transform(q.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))), (a, v) -> a + v))) AS cosine
+  FROM embeddings e CROSS JOIN (SELECT * FROM embeddings WHERE vec_id < 3) q
+)
+SELECT q_id, vec_id, CAST(rank AS INTEGER) AS rank FROM (
+  SELECT q_id, vec_id, row_number() OVER (PARTITION BY q_id ORDER BY cosine DESC, vec_id ASC) AS rank
+  FROM scored
+) WHERE rank <= 5
+"""
+
+
+def _q_agg_pricing(spark, sf_dir):
+    # TPC-H Q1-flavored aggregation (map-side partial agg + single
+    # shuffle on the grouping key).
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.where(F.col("l_shipdate") <= F.lit("1998-09-02"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 4).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 4).alias("sum_base_price"),
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4).alias("sum_disc_price"),
+            F.round(F.avg("l_quantity"), 6).alias("avg_qty"),
+            F.count("*").alias("count_order"),
+        )
+    )
+
+
+_AGG_SQL = """
+SELECT l_returnflag, l_linestatus,
+  round(SUM(l_quantity), 4) AS sum_qty,
+  round(SUM(l_extendedprice), 4) AS sum_base_price,
+  round(SUM(l_extendedprice * (1 - l_discount)), 4) AS sum_disc_price,
+  round(AVG(l_quantity), 6) AS avg_qty,
+  COUNT(*) AS count_order
+FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+GROUP BY l_returnflag, l_linestatus
+"""
+
+
+def _q_join_revenue(spark, sf_dir):
+    # 3-way join with broadcast dims: revenue per nation.
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    n = _t(spark, sf_dir, "nation")
+    return (
+        o.join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .groupBy("n_name")
+        .agg(
+            F.round(F.sum("o_totalprice"), 4).alias("revenue"),
+            F.count("*").alias("n_orders"),
+        )
+    )
+
+
+_REVENUE_SQL = """
+SELECT n_name, round(SUM(o_totalprice), 4) AS revenue, COUNT(*) AS n_orders
+FROM orders JOIN customer ON o_custkey = c_custkey
+JOIN nation ON c_nationkey = n_nationkey
+GROUP BY n_name
+"""
+
+
+def _q_window_top_orders(spark, sf_dir):
+    from pyspark.sql.window import Window
+
+    o = _t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey").asc())
+    return (
+        o.withColumn("rnk", F.row_number().over(w))
+        .where(F.col("rnk") <= 3)
+        .select("o_custkey", "o_orderkey", F.col("rnk").cast("int").alias("rnk"))
+    )
+
+
+_WINDOW_SQL = """
+SELECT o_custkey, o_orderkey, CAST(rnk AS INTEGER) AS rnk FROM (
+  SELECT o_custkey, o_orderkey,
+    row_number() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey ASC) AS rnk
+  FROM orders
+) WHERE rnk <= 3
+"""
+
+
+def _q_events_rollup(spark, sf_dir):
+    e = _t(spark, sf_dir, "events")
+    return e.groupBy("event_type").agg(
+        F.count("*").alias("n"),
+        F.round(F.sum("value"), 4).alias("total_value"),
+        F.countDistinct("user_id").alias("n_users"),
+    )
+
+
+_EVENTS_SQL = """
+SELECT event_type, COUNT(*) AS n, round(SUM(value), 4) AS total_value,
+  COUNT(DISTINCT user_id) AS n_users
+FROM events GROUP BY event_type
+"""
+
+
+# ------------------------------------------------------- rows-only (non-SQL)
+
+
+def _q_toa_radiance_tiles(spark, sf_dir):
+    from rio_toa_spark.operators import toa
+
+    paths = _fixture_paths()
+    tiles = spark.read.parquet(paths["tiles"])
+    scenes = spark.read.parquet(paths["scenes"])
+    return toa.tile_stats(toa.radiance_tiles(tiles, scenes, band=5))
+
+
+def _q_toa_reflectance_pixel_sun(spark, sf_dir):
+    from rio_toa_spark.operators import toa
+
+    paths = _fixture_paths()
+    tiles = spark.read.parquet(paths["tiles"])
+    scenes = spark.read.parquet(paths["scenes"])
+    return toa.tile_stats(
+        toa.reflectance_tiles(tiles, scenes, bands=[4], per_pixel_sun=True)
+    )
+
+
+def _q_toa_brighttemp_tiles(spark, sf_dir):
+    from rio_toa_spark.operators import toa
+
+    paths = _fixture_paths()
+    tiles = spark.read.parquet(paths["tiles"])
+    scenes = spark.read.parquet(paths["scenes"])
+    return toa.tile_stats(toa.brightness_temp_tiles(tiles, scenes, band=10))
+
+
+def _q_pages_extract_text(spark, sf_dir):
+    from rio_toa_spark.operators.textstats import with_extracted_text
+
+    paths = _fixture_paths()
+    pages = spark.read.parquet(paths["pages"])
+    out = with_extracted_text(pages)
+    return out.select(
+        "url",
+        (F.col("extracted_text") == F.col("text")).alias("byte_identical"),
+    )
+
+
+def _q_pages_pip_tiles(spark, sf_dir):
+    from rio_toa_spark.operators.spatial_join import pip_join, tile_footprints
+
+    paths = _fixture_paths()
+    pages = spark.read.parquet(paths["pages"])
+    tiles = spark.read.parquet(paths["tiles"])
+    return pip_join(pages, tile_footprints(tiles), level=7).select("url", "tile_id")
+
+
+def _q_minhash_lsh_pairs(spark, sf_dir):
+    from rio_toa_spark.operators.dedup import ngram_jaccard_pairs
+
+    d = _t(spark, sf_dir, "documents")
+    return ngram_jaccard_pairs(d, threshold=0.5).select(
+        "a", "b", F.round("jaccard", 9).alias("jaccard")
+    )
+
+
+def _q_ann_ivf(spark, sf_dir):
+    from rio_toa_spark.operators.similarity import cosine_topk_ivf
+
+    e = _t(spark, sf_dir, "embeddings")
+    q = e.where(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec")
+    )
+    return cosine_topk_ivf(e, q, k=5, n_centroids=16, n_probe=4).select("q_id", "vec_id", "rank")
+
+
+def _q_embedding_near_dups(spark, sf_dir):
+    from rio_toa_spark.operators.dedup import embedding_near_dups
+
+    e = _t(spark, sf_dir, "embeddings")
+    return embedding_near_dups(e, threshold=0.9).select(
+        "a", "b", F.round("cosine", 9).alias("cosine")
+    )
+
+
+def _q_simhash_near_dups(spark, sf_dir):
+    from rio_toa_spark.operators.dedup import simhash_near_dups
+
+    d = _t(spark, sf_dir, "documents")
+    return simhash_near_dups(d, max_hamming=6).select("a", "b", "hamming")
+
+
+# ---------------------------------------------------------------------
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: TOA radiance over synthetic Landsat tiles (broadcast
+    MTL join + Arrow kernel) summarized per scene, spatial-joined to
+    the per-scene web-page counts (cell-prune + refine)."""
+    from rio_toa_spark.operators import toa
+    from rio_toa_spark.operators.spatial_join import pip_join, scene_footprints
+
+    paths = _fixture_paths()
+    tiles = spark.read.parquet(paths["tiles"])
+    scenes = spark.read.parquet(paths["scenes"])
+    pages = spark.read.parquet(paths["pages"])
+
+    rad = toa.tile_stats(toa.radiance_tiles(tiles, scenes, band=5))
+    rad_per_scene = rad.groupBy("scene_id").agg(
+        F.count("*").alias("n_tiles"),
+        F.round(F.avg("px_mean"), 6).alias("mean_radiance"),
+    )
+    page_counts = (
+        pip_join(pages, scene_footprints(scenes), level=7)
+        .groupBy("scene_id")
+        .agg(F.count("*").alias("n_pages"))
+    )
+    return rad_per_scene.join(page_counts, "scene_id", "left").orderBy("scene_id")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return {
+        # TOA kernel family (scalar SQL twins; binary-tile pipelines below)
+        "radiance_scalar": _q_radiance_scalar,
+        "reflectance_scalar": _q_reflectance_scalar,
+        "brighttemp_scalar": _q_brighttemp_scalar,
+        "mtl_parse": _q_mtl_parse,
+        # spatial layer
+        "pip_broadcast": _q_pip_broadcast,
+        "pip_salted": _q_pip_salted,
+        "pip_index": _q_pip_index,
+        "knn_broadcast": _q_knn,
+        "knn_cells": _q_knn_cells,
+        "cell_assign": _q_cell_assign,
+        # dedup / text / similarity
+        "dedup_exact": _q_dedup_exact,
+        "minhash": _q_minhash,
+        "jaccard_pairs": _q_jaccard_pairs,
+        "simhash": _q_simhash,
+        "token_stats": _q_token_stats,
+        "lang_scores": _q_lang_scores,
+        "fingerprint": _q_fingerprint,
+        "quality": _q_quality,
+        "cosine_topk": _q_cosine_topk,
+        # relational coverage
+        "agg_pricing": _q_agg_pricing,
+        "join_revenue": _q_join_revenue,
+        "window_top_orders": _q_window_top_orders,
+        "events_rollup": _q_events_rollup,
+        # rows-only (non-SQL-expressible: binary pixels / LSH internals)
+        "toa_radiance_tiles": _q_toa_radiance_tiles,
+        "toa_reflectance_pixel_sun": _q_toa_reflectance_pixel_sun,
+        "toa_brighttemp_tiles": _q_toa_brighttemp_tiles,
+        "pages_extract_text": _q_pages_extract_text,
+        "pages_pip_tiles": _q_pages_pip_tiles,
+        "minhash_lsh_pairs": _q_minhash_lsh_pairs,
+        "ann_ivf": _q_ann_ivf,
+        "embedding_near_dups": _q_embedding_near_dups,
+        "simhash_near_dups": _q_simhash_near_dups,
+    }
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    ml, al = 0.0003342, 0.1
+    mr, ar, e = 2.0e-05, -0.1, 41.5
+    k1, k2 = 774.8853, 1321.0789
+    return {
+        "radiance_scalar": (
+            "SELECT l_orderkey, l_linenumber, round(CASE WHEN l_quantity = 0.0 THEN 0.0 "
+            "ELSE %r * l_quantity + %r END, 9) AS radiance FROM lineitem" % (ml, al)
+        ),
+        "reflectance_scalar": (
+            "SELECT l_orderkey, l_linenumber, round(CASE WHEN l_quantity = 0.0 THEN 0.0 "
+            "ELSE LEAST(GREATEST((%r * l_quantity + %r) / sin(radians(%r)), 0.0), 1.0) END, 9) "
+            "AS reflectance FROM lineitem" % (mr, ar, e)
+        ),
+        "brighttemp_scalar": (
+            "SELECT l_orderkey, l_linenumber, "
+            "round(%r / ln(%r / (%r * (l_quantity * 1000.0) + %r) + 1.0), 6) AS btemp_k "
+            "FROM lineitem" % (k2, k1, ml, al)
+        ),
+        "mtl_parse": (
+            "SELECT n_nationkey, n_nationkey / 8.0 AS ml, "
+            "CAST(n_nationkey - 60 AS DOUBLE) AS al FROM nation"
+        ),
+        "pip_broadcast": _PIP_SQL,
+        "pip_salted": _PIP_SQL,
+        "pip_index": _PIP_SQL,
+        "knn_broadcast": _KNN_SQL,
+        "knn_cells": _KNN_SQL,
+        "cell_assign": (
+            "SELECT doc_id, %s AS cell FROM (%s)" % (_duck_cell("lon", "lat", 8), _DOC_POINTS_SQL)
+        ),
+        "dedup_exact": _DEDUP_SQL,
+        "minhash": _MINHASH_SQL,
+        "jaccard_pairs": _JACCARD_SQL,
+        "simhash": _simhash_sql(),
+        "token_stats": _TOKEN_SQL,
+        "lang_scores": _lang_sql(),
+        "fingerprint": _FP_SQL,
+        "quality": _quality_sql(),
+        "cosine_topk": _COSINE_SQL,
+        "agg_pricing": _AGG_SQL,
+        "join_revenue": _REVENUE_SQL,
+        "window_top_orders": _WINDOW_SQL,
+        "events_rollup": _EVENTS_SQL,
+    }

@@ -23,7 +23,14 @@ from pyspark.sql.window import Window
 
 
 def dot(a: Column, b: Column) -> Column:
-    return F.aggregate(F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x)
+    # cast BEFORE multiplying: float32*float32 rounds to float32, while
+    # the DuckDB oracle twin multiplies doubles — upcast first so both
+    # engines do the identical double multiply + sequential double fold
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
 
 
 def norm(a: Column) -> Column:

@@ -250,10 +250,28 @@ def knn_join(
         ((F.col("fw") + F.col("fe")) / 2).alias("cx"),
         ((F.col("fs") + F.col("fn")) / 2).alias("cy"),
     )
+    return knn_centroids(
+        points_df, tiles, k=k, strategy=strategy, level=level,
+        ring_radius=ring_radius, lon=lon, lat=lat, point_key=point_key,
+    )
+
+
+def knn_centroids(
+    points_df: DataFrame,
+    centroids_df: DataFrame,
+    k: int = 3,
+    strategy: str = "broadcast",
+    level: int = DEFAULT_LEVEL,
+    ring_radius: int = 2,
+    lon: str = "lon",
+    lat: str = "lat",
+    point_key: str = "url",
+) -> DataFrame:
+    """kNN against an arbitrary (tile_id, cx, cy) centroid table."""
     if strategy == "broadcast":
-        return _knn_broadcast(points_df, tiles, k, lon, lat, point_key)
+        return _knn_broadcast(points_df, centroids_df, k, lon, lat, point_key)
     if strategy == "cells":
-        return _knn_cells(points_df, tiles, k, level, ring_radius, lon, lat, point_key)
+        return _knn_cells(points_df, centroids_df, k, level, ring_radius, lon, lat, point_key)
     raise ValueError("unknown strategy %r" % strategy)
 
 
