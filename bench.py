@@ -1,0 +1,247 @@
+#!/usr/bin/env python
+"""Benchmark harness.
+
+Default mode: run the headline queries at $SPARK_GRAFT_SF_DIR (default
+/root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] (default 32) and
+print ONE JSON line:
+  {"metric": "...", "value": <total sec>, "unit": "sec",
+   "queries": {...}, "sf": ..., "throughput": {...}}
+
+--scaling mode: run the same workload in two subprocesses at local[8]
+and local[32] on the same input and report both throughputs plus
+scaling efficiency = (thr_32 / thr_8) / 4 (the sandbox proxy for the
+north rule's N -> 4N executor criterion), appending the table to
+BENCH.md.
+
+Results are materialized with the noop sink (full execution, no
+driver collect).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import subprocess
+import sys
+import time
+
+_REPO = os.path.dirname(os.path.abspath(__file__))
+sys.path.insert(0, _REPO)
+
+BENCH_FIXTURES = os.path.join(_REPO, ".fixtures", "bench")
+BENCH_SCENES = 6
+BENCH_GRID = 4
+BENCH_TILE = 512
+BENCH_PAGES = 100_000
+BENCH_BANDS = [4, 5, 10]
+
+
+def _fixtures():
+    from rio_toa_spark.sources.fixtures import ensure_fixtures
+
+    return ensure_fixtures(
+        BENCH_FIXTURES,
+        n_scenes=BENCH_SCENES,
+        grid=BENCH_GRID,
+        tile_size=BENCH_TILE,
+        n_pages=BENCH_PAGES,
+        bands=BENCH_BANDS,
+    )
+
+
+def _run(df) -> int:
+    """Materialize fully via the noop sink; return row count cheaply
+    computed on the same plan."""
+    df.write.format("noop").mode("overwrite").save()
+    return -1
+
+
+def build_queries(spark, sf_dir):
+    """name -> (callable producing a DataFrame, workload descriptor)."""
+    import __spark_entry__ as entry_mod
+    from pyspark.sql import functions as F
+
+    from rio_toa_spark.operators import toa
+    from rio_toa_spark.operators.dedup import exact_dedup, ngram_jaccard_pairs
+    from rio_toa_spark.operators.similarity import cosine_topk
+    from rio_toa_spark.operators.spatial_join import (
+        knn_join,
+        pip_join,
+        scene_footprints,
+        tile_footprints,
+    )
+
+    paths = _fixtures()
+    tiles = spark.read.parquet(paths["tiles"])
+    scenes = spark.read.parquet(paths["scenes"])
+    pages = spark.read.parquet(paths["pages"])
+
+    n_tiles_per_band = BENCH_SCENES * BENCH_GRID * BENCH_GRID
+    px_per_band = n_tiles_per_band * BENCH_TILE * BENCH_TILE
+
+    docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+    emb = spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet"))
+    q_emb = emb.where(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec")
+    )
+
+    return {
+        "toa_radiance": (
+            lambda: toa.radiance_tiles(tiles, scenes, band=5),
+            {"pixels": px_per_band},
+        ),
+        "toa_reflectance_pixel_sun": (
+            lambda: toa.reflectance_tiles(tiles, scenes, bands=[4], per_pixel_sun=True),
+            {"pixels": px_per_band},
+        ),
+        "toa_brighttemp": (
+            lambda: toa.brightness_temp_tiles(tiles, scenes, band=10),
+            {"pixels": px_per_band},
+        ),
+        "pip_pages_scenes": (
+            lambda: pip_join(pages, scene_footprints(scenes), level=7),
+            {"join_input_rows": BENCH_PAGES},
+        ),
+        "pip_pages_tiles_salted": (
+            lambda: pip_join(pages, tile_footprints(tiles), level=7, strategy="salted"),
+            {"join_input_rows": BENCH_PAGES},
+        ),
+        "knn_pages_tiles": (
+            lambda: knn_join(pages, tiles, k=3, strategy="broadcast"),
+            {"join_input_rows": BENCH_PAGES},
+        ),
+        "extract_text_all_pages": (
+            lambda: __import__("rio_toa_spark.operators.textstats", fromlist=["x"]).with_extracted_text(pages).select("url", "extracted_text"),
+            {"rows": BENCH_PAGES},
+        ),
+        "dedup_exact_docs": (lambda: exact_dedup(docs), {}),
+        "minhash_lsh_docs": (lambda: ngram_jaccard_pairs(docs, threshold=0.5), {}),
+        "cosine_topk": (lambda: cosine_topk(emb, q_emb, k=10), {}),
+        "agg_pricing": (lambda: entry_mod._q_agg_pricing(spark, sf_dir), {}),
+        "join_revenue": (lambda: entry_mod._q_join_revenue(spark, sf_dir), {}),
+        "window_top_orders": (lambda: entry_mod._q_window_top_orders(spark, sf_dir), {}),
+        "pip_docs_parts": (lambda: entry_mod._q_pip_broadcast(spark, sf_dir), {}),
+    }
+
+
+def run_bench(cpus: int, sf_dir: str) -> dict:
+    os.environ["SPARK_GRAFT_CPUS"] = str(cpus)
+    from rio_toa_spark.session import get_spark
+
+    spark = get_spark(
+        app_name="rio_toa_spark_bench",
+        master="local[%d]" % cpus,
+        shuffle_partitions=max(cpus, 8),
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+    queries = build_queries(spark, sf_dir)
+
+    timings: dict[str, float] = {}
+    meta: dict[str, dict] = {}
+    # session warm-up (JIT, Arrow init, Python worker pool) — excluded
+    import pandas as pd  # noqa: F401
+
+    spark.range(1000).selectExpr("sum(id)").collect()
+    spark.range(cpus * 4).repartition(cpus).mapInPandas(
+        lambda it: it, "id long"
+    ).write.format("noop").mode("overwrite").save()
+
+    for name, (build, descr) in queries.items():
+        t0 = time.perf_counter()
+        _run(build())
+        dt = time.perf_counter() - t0
+        timings[name] = round(dt, 3)
+        meta[name] = descr
+
+    total = round(sum(timings.values()), 3)
+    toa_px = sum(m.get("pixels", 0) for m in meta.values())
+    toa_sec = sum(timings[n] for n, m in meta.items() if "pixels" in m)
+    join_rows = sum(m.get("join_input_rows", 0) for m in meta.values())
+    join_sec = sum(timings[n] for n, m in meta.items() if "join_input_rows" in m)
+    result = {
+        "metric": "headline_suite_wall_sec",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": os.path.basename(sf_dir.rstrip("/")).replace("sf", ""),
+        "cpus": cpus,
+        "throughput": {
+            "toa_pixels_per_sec": round(toa_px / toa_sec) if toa_sec else None,
+            "join_input_rows_per_sec": round(join_rows / join_sec) if join_sec else None,
+        },
+    }
+    spark.stop()
+    return result
+
+
+def run_scaling(sf_dir: str, levels=(8, 32)) -> dict:
+    results = {}
+    for cpus in levels:
+        out = subprocess.run(
+            [sys.executable, os.path.abspath(__file__), "--cpus", str(cpus), "--sf-dir", sf_dir],
+            capture_output=True,
+            text=True,
+            check=True,
+            cwd=_REPO,
+        )
+        results[cpus] = json.loads(out.stdout.strip().splitlines()[-1])
+    lo, hi = levels
+    thr_lo = 1.0 / results[lo]["value"]
+    thr_hi = 1.0 / results[hi]["value"]
+    eff = (thr_hi / thr_lo) / (hi / lo)
+    table = {
+        "levels": {str(c): results[c] for c in levels},
+        "scaling_efficiency": round(eff, 3),
+        "criterion": ">= 0.8 from N to 4N (sandbox proxy local[8] -> local[32])",
+    }
+    _write_bench_md(table, sf_dir)
+    return table
+
+
+def _write_bench_md(table: dict, sf_dir: str) -> None:
+    lines = [
+        "# BENCH — scaling run",
+        "",
+        "Same workload, same input (%s), two parallelism levels" % sf_dir,
+        "(the sandbox proxy for N vs 4N executors per BASELINE.md).",
+        "",
+        "| cpus | suite wall (s) | TOA px/s | join rows/s |",
+        "|---|---|---|---|",
+    ]
+    for cpus, res in table["levels"].items():
+        thr = res["throughput"]
+        lines.append(
+            "| local[%s] | %.3f | %s | %s |"
+            % (cpus, res["value"], thr["toa_pixels_per_sec"], thr["join_input_rows_per_sec"])
+        )
+    lines += [
+        "",
+        "**Scaling efficiency (suite): %.3f** (criterion >= 0.8)" % table["scaling_efficiency"],
+        "",
+        "Per-query seconds:",
+        "",
+        "```json",
+        json.dumps({c: r["queries"] for c, r in table["levels"].items()}, indent=2),
+        "```",
+        "",
+    ]
+    with open(os.path.join(_REPO, "BENCH.md"), "w") as fh:
+        fh.write("\n".join(lines))
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--cpus", type=int, default=int(os.environ.get("SPARK_GRAFT_CPUS", "32")))
+    ap.add_argument("--sf-dir", default=os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1"))
+    ap.add_argument("--scaling", action="store_true", help="run at local[8] and local[32], compute efficiency")
+    args = ap.parse_args()
+
+    if args.scaling:
+        print(json.dumps(run_scaling(args.sf_dir)))
+    else:
+        print(json.dumps(run_bench(args.cpus, args.sf_dir)))
+
+
+if __name__ == "__main__":
+    main()

@@ -338,10 +338,15 @@ def ensure_fixtures(
         return paths
     scenes = make_scenes(n_scenes)
     pq.write_table(scenes_arrow(scenes), paths["scenes"])
+    tiles = tiles_arrow(scenes, bands=bands, grid=grid, tile_size=tile_size)
+    # small row groups -> splittable scans: a single row group would
+    # collapse the whole TOA pipeline into one Spark task
+    pq.write_table(tiles, paths["tiles"], row_group_size=max(4, tiles.num_rows // 64))
     pq.write_table(
-        tiles_arrow(scenes, bands=bands, grid=grid, tile_size=tile_size), paths["tiles"]
+        pages_arrow(scenes, n_pages=n_pages),
+        paths["pages"],
+        row_group_size=max(1024, n_pages // 64),
     )
-    pq.write_table(pages_arrow(scenes, n_pages=n_pages), paths["pages"])
     with open(marker, "w") as fh:
         fh.write("ok\n")
     return paths
