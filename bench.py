@@ -147,11 +147,15 @@ def run_bench(cpus: int, sf_dir: str) -> dict:
         lambda it: it, "id long"
     ).write.format("noop").mode("overwrite").save()
 
+    runs = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "1"))
     for name, (build, descr) in queries.items():
-        t0 = time.perf_counter()
-        _run(build())
-        dt = time.perf_counter() - t0
-        timings[name] = round(dt, 3)
+        samples = []
+        for _ in range(max(runs, 1)):
+            t0 = time.perf_counter()
+            _run(build())
+            samples.append(time.perf_counter() - t0)
+        samples.sort()
+        timings[name] = round(samples[len(samples) // 2], 3)  # median
         meta[name] = descr
 
     total = round(sum(timings.values()), 3)
@@ -177,6 +181,7 @@ def run_bench(cpus: int, sf_dir: str) -> dict:
 
 def run_scaling(sf_dir: str, levels=(8, 32)) -> dict:
     results = {}
+    env = dict(os.environ, SPARK_GRAFT_BENCH_RUNS="3")
     for cpus in levels:
         out = subprocess.run(
             [sys.executable, os.path.abspath(__file__), "--cpus", str(cpus), "--sf-dir", sf_dir],
@@ -184,6 +189,7 @@ def run_scaling(sf_dir: str, levels=(8, 32)) -> dict:
             text=True,
             check=True,
             cwd=_REPO,
+            env=env,
         )
         results[cpus] = json.loads(out.stdout.strip().splitlines()[-1])
     lo, hi = levels
