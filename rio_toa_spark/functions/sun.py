@@ -86,6 +86,33 @@ def _create_lnglats(shape, bbox):
     )
 
 
+def sun_elevation_rows(bounds, shape, row_start: int, row_stop: int, date_collected: str, time_collected_utc: str):
+    """Per-pixel sun elevation for a horizontal strip [row_start,
+    row_stop) of the tile grid.
+
+    Bitwise-identical to the corresponding rows of
+    ``sun_elevation(bounds, shape, ...)``: every op in the chain is
+    elementwise, the float32 index grids carry the same values per
+    cell, and broadcasting a (k,1) lat column against a (1,cols) lng
+    row performs the identical scalar float32 ops. Used for
+    cache-blocked (L2-resident) kernel execution in operators/toa.py.
+    """
+    utc_time = parse_utc_string(date_collected, time_collected_utc)
+    rows, cols = (shape[1], shape[2]) if len(shape) == 3 else shape
+    w, s, e, n = list(bounds)
+    x_cell = (e - w) / float(cols)
+    y_cell = (n - s) / float(rows)
+    lng_idx = np.arange(cols, dtype=np.float32).reshape(1, cols)
+    # flipud semantics: grid row r carries index value (rows-1-r)
+    lat_idx = np.arange(rows - 1 - row_start, rows - 1 - (row_stop - 1) - 1, -1, dtype=np.float32).reshape(-1, 1)
+    lng = (lng_idx * x_cell) + w + (x_cell / 2.0)
+    lat = (lat_idx * y_cell) + s + (y_cell / 2.0)
+    decimal_hour = time_to_dec_hour(utc_time)
+    day_of_year = utc_time.timetuple().tm_yday
+    declination = calculate_declination(day_of_year)
+    return _calculate_sun_elevation(lng, lat, declination, day_of_year, decimal_hour)
+
+
 def sun_elevation(bounds, shape, date_collected: str, time_collected_utc: str):
     """Per-pixel sun elevation (degrees) for a tile.
 

@@ -1,0 +1,186 @@
+"""Multimodal (image/audio/video) column handling.
+
+Media payloads are opaque ``binary`` columns plus a typed metadata
+struct — the same tile pattern the TOA core uses. Heavy decode is a
+batch Arrow UDF over ``mapInPandas``; in this container no media
+codecs exist, so the decode step is STUBBED: a clearly marked
+deterministic fake (seeded from the payload hash) stands in for the
+real decoder behind the same signature/schema, and the genuine
+libraries are gated behind an import-try. Everything Spark-side —
+schemas, batching, partitioning, UDF shapes — is real and tested.
+
+Operators:
+* ``describe_media``     — typed metadata extraction (pure SQL)
+* ``decode_image``       — binary -> (height, width, channels, pixels)
+* ``resize_image``       — decoded pixels -> fixed thumbnail buffer
+* ``image_features``     — decoded pixels -> float feature vector
+* ``sample_video_frames``— binary video -> one row per sampled frame
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+try:  # pragma: no cover - not present in this container
+    from PIL import Image  # noqa: F401
+
+    _HAVE_PIL = True
+except ImportError:
+    _HAVE_PIL = False
+
+MEDIA_META_SCHEMA = T.StructType(
+    [
+        T.StructField("media_type", T.StringType()),
+        T.StructField("n_bytes", T.IntegerType()),
+        T.StructField("content_hash", T.LongType()),
+    ]
+)
+
+
+def describe_media(df: DataFrame, payload: str = "payload") -> DataFrame:
+    """Typed metadata columns for an opaque binary payload (native
+    SQL; no Python)."""
+    return df.withColumn(
+        "media_meta",
+        F.struct(
+            F.when(F.substring(F.col(payload), 1, 4) == bytes([137, 80, 78, 71]), "image/png")
+            .when(F.substring(F.col(payload), 1, 3) == b"\xff\xd8\xff", "image/jpeg")
+            .when(F.substring(F.col(payload), 1, 4) == b"RIFF", "audio/wav")
+            .otherwise("application/octet-stream")
+            .alias("media_type"),
+            F.length(F.col(payload)).cast("int").alias("n_bytes"),
+            F.conv(F.substring(F.md5(F.col(payload)), 1, 15), 16, 10)
+            .cast("long")
+            .alias("content_hash"),
+        ),
+    )
+
+
+def _fake_decode(payload: bytes, height: int = 32, width: int = 32, channels: int = 3) -> np.ndarray:
+    """Deterministic stand-in for a real image decoder: pixels seeded
+    from the payload hash. Replace with PIL/libvips when available."""
+    import hashlib
+
+    seed = int.from_bytes(hashlib.md5(payload).digest()[:8], "little")
+    rng = np.random.default_rng(seed)
+    return rng.integers(0, 256, size=(height, width, channels), dtype=np.uint8)
+
+
+_DECODED_FIELDS = [
+    T.StructField("height", T.IntegerType()),
+    T.StructField("width", T.IntegerType()),
+    T.StructField("channels", T.IntegerType()),
+    T.StructField("pixels", T.BinaryType()),
+]
+
+
+def decode_image(df: DataFrame, payload: str = "payload", key: str = "media_id") -> DataFrame:
+    """binary -> decoded uint8 HWC buffer. STUB decoder (see module
+    docstring); real decoders plug into the same mapInPandas shape."""
+    schema = T.StructType([df.schema[key]] + _DECODED_FIELDS)
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        if _HAVE_PIL:  # pragma: no cover
+            raise NotImplementedError("real decoder path: wire PIL here")
+        for pdf in batches:
+            decoded = [_fake_decode(p) for p in pdf[payload]]
+            yield pd.DataFrame(
+                {
+                    key: pdf[key],
+                    "height": [d.shape[0] for d in decoded],
+                    "width": [d.shape[1] for d in decoded],
+                    "channels": [d.shape[2] for d in decoded],
+                    "pixels": [d.tobytes() for d in decoded],
+                }
+            )
+
+    return df.mapInPandas(run, schema)
+
+
+def resize_image(decoded_df: DataFrame, out_h: int = 8, out_w: int = 8, key: str = "media_id") -> DataFrame:
+    """Nearest-neighbor resize of decoded HWC buffers — pure numpy
+    strided sampling, the batch shape a real resize kernel would use."""
+    schema = T.StructType([decoded_df.schema[key]] + _DECODED_FIELDS)
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for row in pdf.itertuples(index=False):
+                arr = np.frombuffer(row.pixels, dtype=np.uint8).reshape(
+                    row.height, row.width, row.channels
+                )
+                ys = (np.arange(out_h) * row.height // out_h).astype(int)
+                xs = (np.arange(out_w) * row.width // out_w).astype(int)
+                out.append(arr[np.ix_(ys, xs)].tobytes())
+            yield pd.DataFrame(
+                {
+                    key: pdf[key],
+                    "height": out_h,
+                    "width": out_w,
+                    "channels": pdf["channels"],
+                    "pixels": out,
+                }
+            )
+
+    return decoded_df.mapInPandas(run, schema)
+
+
+def image_features(decoded_df: DataFrame, key: str = "media_id") -> DataFrame:
+    """Per-channel mean/std feature vector from decoded buffers."""
+    schema = T.StructType(
+        [decoded_df.schema[key], T.StructField("features", T.ArrayType(T.FloatType()))]
+    )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            feats = []
+            for row in pdf.itertuples(index=False):
+                arr = np.frombuffer(row.pixels, dtype=np.uint8).reshape(
+                    row.height, row.width, row.channels
+                ).astype(np.float32)
+                feats.append(
+                    np.concatenate([arr.mean(axis=(0, 1)), arr.std(axis=(0, 1))]).tolist()
+                )
+            yield pd.DataFrame({key: pdf[key], "features": feats})
+
+    return decoded_df.mapInPandas(run, schema)
+
+
+def sample_video_frames(
+    df: DataFrame, n_frames: int = 4, payload: str = "payload", key: str = "media_id"
+) -> DataFrame:
+    """binary video -> one row per sampled frame (UDTF-style expansion
+    inside mapInPandas). Frame extraction is the same stub decoder
+    seeded per (payload, frame_index)."""
+    schema = T.StructType(
+        [df.schema[key], T.StructField("frame_idx", T.IntegerType())] + _DECODED_FIELDS
+    )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            keys, idxs, bufs = [], [], []
+            for row in pdf.itertuples(index=False):
+                payload_bytes = getattr(row, payload)
+                for fi in range(n_frames):
+                    frame = _fake_decode(payload_bytes + bytes([fi]))
+                    keys.append(getattr(row, key))
+                    idxs.append(fi)
+                    bufs.append(frame.tobytes())
+            yield pd.DataFrame(
+                {
+                    key: keys,
+                    "frame_idx": idxs,
+                    "height": 32,
+                    "width": 32,
+                    "channels": 3,
+                    "pixels": bufs,
+                }
+            )
+
+    return df.mapInPandas(run, schema)

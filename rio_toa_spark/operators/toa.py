@@ -40,6 +40,17 @@ from rio_toa_spark.functions.mtl import mtl_band_value, with_parsed_mtl
 
 TILE_KEY = ["scene_id", "band", "tile_row", "tile_col"]
 
+# Cache blocking: kernels run on horizontal strips so float64
+# intermediates stay L2-resident instead of streaming DRAM (the
+# kernels are elementwise, so strip execution is bitwise-identical to
+# whole-tile execution — asserted by the parity tests).
+STRIP_ROWS = 64
+
+
+def _strips(height: int):
+    for r0 in range(0, height, STRIP_ROWS):
+        yield r0, min(r0 + STRIP_ROWS, height)
+
 _OUT_FIELDS = [
     T.StructField("scene_id", T.StringType()),
     T.StructField("band", T.IntegerType()),
@@ -93,12 +104,15 @@ def radiance_tiles(
             out = []
             for row in pdf.itertuples(index=False):
                 dn = _decode(row.pixels, row.height, row.width)
-                arr = kernels.rescale(
-                    kernels.radiance(dn, row.c_ml, row.c_al, _nodata_of(row.nodata)),
-                    factor,
-                    np.dtype(dst_dtype),
-                    clip=clip,
-                )
+                arr = np.empty(dn.shape, dtype=np.dtype(dst_dtype))
+                nodata = _nodata_of(row.nodata)
+                for r0, r1 in _strips(int(row.height)):
+                    arr[r0:r1] = kernels.rescale(
+                        kernels.radiance(dn[r0:r1], row.c_ml, row.c_al, nodata),
+                        factor,
+                        np.dtype(dst_dtype),
+                        clip=clip,
+                    )
                 out.append(arr.tobytes())
             yield pd.DataFrame(
                 {
@@ -160,22 +174,24 @@ def reflectance_tiles(
             out = []
             for row in pdf.itertuples(index=False):
                 rows_, cols_ = int(row.height), int(row.width)
-                data = _decode(row.pixels, rows_, cols_).astype(np.float32)[np.newaxis, :, :]
-                if per_pixel_sun:
-                    elev = sun.sun_elevation(
-                        [row.bounds_w, row.bounds_s, row.bounds_e, row.bounds_n],
-                        (rows_, cols_),
-                        row.c_date,
-                        row.c_time,
-                    ).reshape(rows_, cols_, 1)
-                else:
-                    elev = np.array([row.c_e])
-                arr = kernels.rescale(
-                    kernels.reflectance(data, [row.c_ml], [row.c_al], elev, _nodata_of(row.nodata)),
-                    factor,
-                    np.dtype(dst_dtype),
-                    clip=clip,
-                )
+                dn = _decode(row.pixels, rows_, cols_)
+                nodata = _nodata_of(row.nodata)
+                bbox = [row.bounds_w, row.bounds_s, row.bounds_e, row.bounds_n]
+                arr = np.empty((1, rows_, cols_), dtype=np.dtype(dst_dtype))
+                for r0, r1 in _strips(rows_):
+                    data = dn[r0:r1].astype(np.float32)[np.newaxis, :, :]
+                    if per_pixel_sun:
+                        elev = sun.sun_elevation_rows(
+                            bbox, (rows_, cols_), r0, r1, row.c_date, row.c_time
+                        ).reshape(r1 - r0, cols_, 1)
+                    else:
+                        elev = np.array([row.c_e])
+                    arr[:, r0:r1] = kernels.rescale(
+                        kernels.reflectance(data, [row.c_ml], [row.c_al], elev, nodata),
+                        factor,
+                        np.dtype(dst_dtype),
+                        clip=clip,
+                    )
                 out.append(arr.tobytes())
             yield pd.DataFrame(
                 {
@@ -222,10 +238,14 @@ def brightness_temp_tiles(
             out = []
             for row in pdf.itertuples(index=False):
                 dn = _decode(row.pixels, row.height, row.width)
-                arr = kernels.temp_rescale(
-                    kernels.brightness_temp(dn, row.c_ml, row.c_al, row.c_k1, row.c_k2, src_nodata),
-                    temp_scale,
-                ).astype(np.dtype(dst_dtype))
+                arr = np.empty(dn.shape, dtype=np.dtype(dst_dtype))
+                for r0, r1 in _strips(int(row.height)):
+                    arr[r0:r1] = kernels.temp_rescale(
+                        kernels.brightness_temp(
+                            dn[r0:r1], row.c_ml, row.c_al, row.c_k1, row.c_k2, src_nodata
+                        ),
+                        temp_scale,
+                    ).astype(np.dtype(dst_dtype))
                 out.append(arr.tobytes())
             yield pd.DataFrame(
                 {

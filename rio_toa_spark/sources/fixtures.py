@@ -231,12 +231,19 @@ _WORDS = (
 ).split()
 
 
-def _page_text(i: int) -> str:
-    """Deterministic pseudo-text for page i."""
-    rng = np.random.default_rng(1000003 + i)
-    n_words = int(20 + rng.integers(0, 180))
-    words = [_WORDS[int(k)] for k in rng.integers(0, len(_WORDS), n_words)]
-    return " ".join(words)
+def _page_texts(n_pages: int, seed: int = 1000003) -> list[str]:
+    """Deterministic pseudo-texts, vectorized (one RNG for the batch)."""
+    rng = np.random.default_rng(seed)
+    n_words = 20 + rng.integers(0, 180, size=n_pages)
+    total = int(n_words.sum())
+    flat = rng.integers(0, len(_WORDS), size=total)
+    out = []
+    pos = 0
+    words = _WORDS
+    for count in n_words:
+        out.append(" ".join(words[k] for k in flat[pos : pos + count]))
+        pos += count
+    return out
 
 
 def page_html(url: str, text: str) -> bytes:
@@ -270,42 +277,38 @@ def pages_arrow(
     ocean = (-150.0, -45.0, -140.0, -35.0)
 
     langs = ["en", "de", "fr", "es", "zh"]
-    urls, tss, htmls, texts, lang_col, lats, lons = [], [], [], [], [], [], []
     base_ts = datetime.datetime(2016, 3, 1, tzinfo=datetime.timezone.utc)
     n_hot = int(n_pages * hot_fraction)
     n_out = int(n_pages * outside_fraction)
-    n_edge = min(8, n_pages)
-    for i in range(n_pages):
-        url = "https://example-%04d.test/page/%d" % (i % 997, i)
-        text = _page_text(i)
-        if i < n_hot:
-            box = hot_box
-        elif i < n_hot + n_out:
-            box = ocean
-        elif i < n_hot + n_out + n_edge:
-            # exactly on footprint edges of scene 0 (inclusive bounds)
-            edge = i % 4
-            box = None
-            if edge == 0:
-                lon, lat = w0, (s0 + n0) / 2
-            elif edge == 1:
-                lon, lat = e0, (s0 + n0) / 2
-            elif edge == 2:
-                lon, lat = (w0 + e0) / 2, s0
-            else:
-                lon, lat = (w0 + e0) / 2, n0
-        else:
-            box = boxes[int(rng.integers(0, len(boxes)))]
-        if box is not None:
-            lon = float(box[0] + (box[2] - box[0]) * rng.random())
-            lat = float(box[1] + (box[3] - box[1]) * rng.random())
-        urls.append(url)
-        tss.append(base_ts + datetime.timedelta(seconds=int(i) * 37))
-        htmls.append(page_html(url, text))
-        texts.append(text)
-        lang_col.append(langs[i % len(langs)])
-        lats.append(lat)
-        lons.append(lon)
+    n_edge = min(8, max(n_pages - n_hot - n_out, 0))
+
+    # vectorized geocodes: segment -> box, then uniform draws per page
+    box_arr = np.array(boxes)  # (k, 4) as (w, s, e, n)
+    seg_box = np.empty((n_pages, 4))
+    seg_box[:n_hot] = hot_box
+    seg_box[n_hot : n_hot + n_out] = ocean
+    scatter0 = n_hot + n_out + n_edge
+    if scatter0 < n_pages:
+        pick = rng.integers(0, len(boxes), size=n_pages - scatter0)
+        seg_box[scatter0:] = box_arr[pick]
+    u = rng.random((n_pages, 2))
+    lons = seg_box[:, 0] + (seg_box[:, 2] - seg_box[:, 0]) * u[:, 0]
+    lats = seg_box[:, 1] + (seg_box[:, 3] - seg_box[:, 1]) * u[:, 1]
+    # edge pages sit exactly on scene 0's footprint edges (inclusive)
+    edge_pts = [
+        (w0, (s0 + n0) / 2),
+        (e0, (s0 + n0) / 2),
+        ((w0 + e0) / 2, s0),
+        ((w0 + e0) / 2, n0),
+    ]
+    for j in range(n_edge):
+        lons[n_hot + n_out + j], lats[n_hot + n_out + j] = edge_pts[j % 4]
+
+    texts = _page_texts(n_pages)
+    urls = ["https://example-%04d.test/page/%d" % (i % 997, i) for i in range(n_pages)]
+    htmls = [page_html(u_, t_) for u_, t_ in zip(urls, texts)]
+    tss = [base_ts + datetime.timedelta(seconds=i * 37) for i in range(n_pages)]
+    lang_col = [langs[i % len(langs)] for i in range(n_pages)]
     return pa.table(
         {
             "url": pa.array(urls, pa.string()),
@@ -313,8 +316,8 @@ def pages_arrow(
             "html": pa.array(htmls, pa.binary()),
             "text": pa.array(texts, pa.string()),
             "lang": pa.array(lang_col, pa.string()),
-            "lat": pa.array(lats, pa.float64()),
-            "lon": pa.array(lons, pa.float64()),
+            "lat": pa.array(np.asarray(lats), pa.float64()),
+            "lon": pa.array(np.asarray(lons), pa.float64()),
         }
     )
 
@@ -332,7 +335,7 @@ def ensure_fixtures(
     os.makedirs(out_dir, exist_ok=True)
     paths = {name: os.path.join(out_dir, "%s.parquet" % name) for name in ("scenes", "tiles", "pages")}
     marker = os.path.join(
-        out_dir, ".fixtures-%d-%d-%d-%d" % (n_scenes, grid, tile_size, n_pages)
+        out_dir, ".fixtures-v2-%d-%d-%d-%d" % (n_scenes, grid, tile_size, n_pages)
     )
     if os.path.exists(marker) and all(os.path.exists(p) for p in paths.values()):
         return paths

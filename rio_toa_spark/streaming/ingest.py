@@ -1,0 +1,105 @@
+"""Structured Streaming ingest paths.
+
+The reference is batch-only (riomucho over files); streaming here
+covers the graft-side ingest patterns a web-scale deployment needs:
+
+* ``stream_pages``: file-source stream of page parquet drops ->
+  watermarked dedup on url (late duplicates within the watermark are
+  dropped exactly once) -> cell assignment -> partitioned sink.
+* ``stream_event_rollup``: tumbling-window aggregation with watermark
+  for the events table shape.
+
+Both run with ``trigger(availableNow=True)`` in tests (bounded drain),
+and are the same code a continuous deployment would run with a
+processing-time trigger. State stores live under the checkpoint dir,
+giving exactly-once sinks on restart — the streaming complement of
+plans/manifest.py for unbounded inputs.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from rio_toa_spark.operators.spatial_join import cell_expr
+
+PAGES_SCHEMA = (
+    "url string, warc_ts timestamp, html binary, text string, "
+    "lang string, lat double, lon double"
+)
+
+
+def stream_pages(
+    spark: SparkSession,
+    source_dir: str,
+    sink_dir: str,
+    checkpoint_dir: str,
+    level: int = 6,
+    watermark: str = "1 hour",
+    available_now: bool = True,
+):
+    """Ingest page drops: dedup by url within the watermark, assign the
+    Z-order cell, write parquet partitioned by cell bucket."""
+    raw = (
+        spark.readStream.schema(PAGES_SCHEMA)
+        .option("maxFilesPerTrigger", 8)
+        .parquet(source_dir)
+    )
+    deduped = (
+        raw.withWatermark("warc_ts", watermark)
+        .dropDuplicatesWithinWatermark(["url"])
+        .withColumn("cell", cell_expr(F.col("lon"), F.col("lat"), level))
+        .withColumn("cell_bucket", F.pmod(F.col("cell"), F.lit(64)))
+    )
+    writer = (
+        deduped.writeStream.format("parquet")
+        .option("path", sink_dir)
+        .option("checkpointLocation", checkpoint_dir)
+        .partitionBy("cell_bucket")
+        .outputMode("append")
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
+def stream_event_rollup(
+    spark: SparkSession,
+    source_dir: str,
+    sink_dir: str,
+    checkpoint_dir: str,
+    window: str = "1 hour",
+    watermark: str = "2 hours",
+    available_now: bool = True,
+):
+    """Watermarked tumbling-window rollup of the events shape:
+    (window, event_type) -> count + value sum."""
+    raw = (
+        spark.readStream.schema(
+            "event_id long, ts timestamp, user_id long, event_type string, "
+            "value double, props string"
+        )
+        .option("maxFilesPerTrigger", 8)
+        .parquet(source_dir)
+    )
+    agg = (
+        raw.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", window).alias("win"), F.col("event_type"))
+        .agg(F.count("*").alias("n"), F.sum("value").alias("total_value"))
+        .select(
+            F.col("win.start").alias("window_start"),
+            F.col("win.end").alias("window_end"),
+            "event_type",
+            "n",
+            "total_value",
+        )
+    )
+    writer = (
+        agg.writeStream.format("parquet")
+        .option("path", sink_dir)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("append")
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

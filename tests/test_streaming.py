@@ -1,0 +1,66 @@
+"""Streaming ingest: bounded drain (availableNow) of page drops with
+url dedup + cell assignment, and the watermarked event rollup."""
+
+import os
+import shutil
+
+import pyarrow.parquet as pq
+import pytest
+from pyspark.sql import functions as F
+
+from rio_toa_spark.spatial import cells as cell_mod
+from rio_toa_spark.streaming.ingest import stream_event_rollup, stream_pages
+
+
+def test_stream_pages_dedup_and_cells(spark, fixture_paths, tmp_path):
+    src = str(tmp_path / "drops")
+    os.makedirs(src)
+    # two drops with overlapping urls (the duplicate must be dropped)
+    table = pq.read_table(fixture_paths["pages"])
+    pq.write_table(table.slice(0, 300), os.path.join(src, "d1.parquet"))
+    pq.write_table(table.slice(200, 300), os.path.join(src, "d2.parquet"))
+
+    sink = str(tmp_path / "sink")
+    q = stream_pages(
+        spark, src, sink, str(tmp_path / "ckpt"), level=6, available_now=True
+    )
+    q.awaitTermination(120)
+
+    out = spark.read.parquet(sink)
+    rows = out.select("url", "lon", "lat", "cell").collect()
+    urls = [r.url for r in rows]
+    assert len(urls) == len(set(urls)) == 500  # 300 + 300 - 100 overlap
+    import numpy as np
+
+    got = {r.url: r.cell for r in rows}
+    for r in rows[:50]:
+        assert got[r.url] == int(cell_mod.cell_of_points(np.array([r.lon]), np.array([r.lat]), 6)[0])
+    # restart with same checkpoint: no new data -> no duplicates
+    q2 = stream_pages(spark, src, sink, str(tmp_path / "ckpt"), level=6, available_now=True)
+    q2.awaitTermination(120)
+    assert spark.read.parquet(sink).count() == 500
+
+
+def test_stream_event_rollup(spark, tmp_path):
+    src = "/root/testdata/sf0.001/events.parquet"
+    drops = str(tmp_path / "edrops")
+    os.makedirs(drops)
+    shutil.copy(src, os.path.join(drops, "e1.parquet"))
+
+    sink = str(tmp_path / "esink")
+    q = stream_event_rollup(spark, drops, sink, str(tmp_path / "eckpt"), available_now=True)
+    q.awaitTermination(120)
+
+    out = spark.read.parquet(sink)
+    batch = (
+        spark.read.parquet(src)
+        .groupBy(F.window("ts", "1 hour"), "event_type")
+        .agg(F.count("*").alias("n"))
+    )
+    # append-mode emits only watermark-closed windows; every emitted
+    # window must match the batch computation exactly
+    got = {(r.window_start, r.event_type): r.n for r in out.collect()}
+    exp = {(r.window.start, r.event_type): r.n for r in batch.collect()}
+    assert got, "stream emitted nothing"
+    for key, n in got.items():
+        assert exp[key] == n
