@@ -1,0 +1,112 @@
+"""Physical-plan shape assertions — the scale contract:
+
+* predicate pushdown reaches the parquet scan (PushedFilters),
+* column pruning keeps unused payloads out of ReadSchema,
+* dimension joins broadcast (no shuffle on the fact side),
+* TOA pipelines contain no hash-partition exchange at all,
+* relational queries run inside WholeStageCodegen.
+
+These are regression guards: a future edit that silently breaks one of
+them (e.g. a join that stops broadcasting) fails here, not at 100 TB.
+"""
+
+from pyspark.sql import functions as F
+
+from rio_toa_spark.operators import spatial_join as sj
+from rio_toa_spark.operators import toa
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def _optimized(df) -> str:
+    return df._jdf.queryExecution().optimizedPlan().toString()
+
+
+def test_band_filter_pushed_to_scan(spark, tiles_df, scenes_df):
+    plan = _plan(toa.radiance_tiles(tiles_df, scenes_df, band=5))
+    assert "PushedFilters" in plan
+    # the band predicate must reach the parquet reader
+    assert "EqualTo(band,5)" in plan.replace(" ", "")
+
+
+def test_column_pruning_pages(spark, pages_df, scenes_df):
+    """Selecting join keys only must drop html/text from the scan."""
+    out = sj.pip_join(pages_df, sj.scene_footprints(scenes_df), level=7).select(
+        "url", "scene_id"
+    )
+    plan = _plan(out)
+    scan_lines = [l for l in plan.splitlines() if "ReadSchema" in l and "pages" in l]
+    assert scan_lines, plan
+    assert "html" not in scan_lines[0]
+    assert "text" not in scan_lines[0]
+
+
+def test_toa_pipeline_shuffle_free(spark, tiles_df, scenes_df):
+    for df in (
+        toa.radiance_tiles(tiles_df, scenes_df, band=5),
+        toa.reflectance_tiles(tiles_df, scenes_df, bands=[4], per_pixel_sun=True),
+        toa.brightness_temp_tiles(tiles_df, scenes_df, band=10),
+    ):
+        plan = _plan(df)
+        assert "BroadcastHashJoin" in plan
+        assert "Exchange hashpartitioning" not in plan
+
+
+def test_pip_broadcast_no_page_shuffle(spark, pages_df, scenes_df):
+    plan = _plan(sj.pip_join(pages_df, sj.scene_footprints(scenes_df), level=7))
+    assert "BroadcastHashJoin" in plan
+    assert "Exchange hashpartitioning" not in plan
+
+
+def test_pip_salted_shuffles_on_salted_key(spark, pages_df, scenes_df):
+    """With broadcast disabled (the regime salting exists for), the
+    shuffle key must include the salt so the hot cell spreads."""
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        plan = _plan(
+            sj.pip_join(pages_df, sj.scene_footprints(scenes_df), level=7, strategy="salted")
+        )
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+    assert "hashpartitioning" in plan
+    assert "_salt" in plan.split("hashpartitioning", 1)[1][:200]
+
+
+def test_pip_salted_broadcasts_when_dim_is_small(spark, pages_df, scenes_df):
+    """At dimension-sized footprints AQE/planner picks broadcast even
+    for the salted variant — no page-side shuffle."""
+    plan = _plan(
+        sj.pip_join(pages_df, sj.scene_footprints(scenes_df), level=7, strategy="salted")
+    )
+    assert "BroadcastHashJoin" in plan
+
+
+def test_relational_query_codegen(spark):
+    li = spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet")
+    agg = li.groupBy("l_returnflag").agg(F.sum("l_quantity").alias("s"))
+    agg.collect()  # finalize AQE
+    plan = _plan(agg)
+    # '*(n)' prefixes mark whole-stage-codegen spans in the plan string
+    assert "*(1)" in plan
+    # and aggregation must be partial map-side before the shuffle
+    assert "partial_sum" in plan
+
+
+def test_cell_expr_is_native(spark, pages_df):
+    """The Morton cell id must be pure Catalyst expressions (no
+    BatchEvalPython / ArrowEvalPython nodes)."""
+    plan = _plan(sj.with_cell(pages_df, level=7).select("cell"))
+    assert "EvalPython" not in plan
+
+
+def test_fixture_row_groups_splittable(fixture_paths):
+    """Fixture parquet must carry multiple row groups so big scans
+    split into parallel tasks (a single row group collapses the whole
+    TOA pipeline into one task — seen and fixed in round 1)."""
+    import pyarrow.parquet as pq
+
+    md = pq.read_metadata(fixture_paths["tiles"])
+    assert md.num_row_groups >= 2
