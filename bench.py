@@ -173,7 +173,7 @@ def run_bench(cpus: int, sf_dir: str) -> dict:
         lambda it: it, "id long"
     ).write.format("noop").mode("overwrite").save()
 
-    runs = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "1"))
+    runs = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "2"))
     for name, (build, descr) in queries.items():
         samples = []
         for _ in range(max(runs, 1)):
