@@ -157,3 +157,27 @@ def test_radiance_plan_is_broadcast_and_shuffle_free(spark, tiles_df, scenes_df)
     plan = toa.radiance_tiles(tiles_df, scenes_df, band=5)._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan
     assert "Exchange hashpartitioning" not in plan
+
+
+def test_reflectance_uint16_rescale_55000(spark, tiles_df, scenes_df, fixture_paths, mtls):
+    """Port of the reference's rescaled-uint16 golden setup
+    (tests/test_reflectance.py:165,192: factor 55000, uint16)."""
+    out = toa.reflectance_tiles(
+        tiles_df, scenes_df, bands=[3], dst_dtype="uint16", rescale_factor=55000
+    ).collect()
+    raw = _tiles_by_key(fixture_paths["tiles"], 3)
+    assert len(out) == len(raw)
+    for row in out[:6]:
+        src = raw[(row.scene_id, row.band, row.tile_row, row.tile_col)]
+        dn = np.frombuffer(src["pixels"], dtype="<u2").reshape(src["height"], src["width"])
+        meta = mtls[row.scene_id]["L1_METADATA_FILE"]
+        rr = meta["RADIOMETRIC_RESCALING"]
+        expected = oracle.reflectance_worker(
+            dn,
+            [rr["REFLECTANCE_MULT_BAND_3"]],
+            [rr["REFLECTANCE_ADD_BAND_3"]],
+            meta["IMAGE_ATTRIBUTES"]["SUN_ELEVATION"],
+            src["nodata"], 55000, np.uint16, clip=True,
+        )
+        got = np.frombuffer(row.pixels, dtype=np.uint16).reshape(1, row.height, row.width)
+        assert np.array_equal(got, expected)
