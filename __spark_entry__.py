@@ -623,6 +623,14 @@ SELECT DISTINCT o_custkey FROM orders WHERE o_orderpriority = '5-LOW'
 """
 
 
+def _q_sessionize(spark, sf_dir):
+    # gap-based sessionization over the events stream shape (window
+    # lag + running sum; streaming twin in operators/sessions.py)
+    from rio_toa_spark.operators.sessions import sessionize
+
+    return sessionize(_t(spark, sf_dir, "events"), gap_minutes=30)
+
+
 def _q_media_describe(spark, sf_dir):
     # multimodal metadata over binary payloads (documents.text encoded)
     from rio_toa_spark.operators.multimodal import describe_media
@@ -807,6 +815,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "topn_orders": _q_topn_orders,
         "setops_custkeys": _q_setops_custkeys,
         "media_describe": _q_media_describe,
+        "sessionize": _q_sessionize,
         # rows-only (non-SQL-expressible: binary pixels / LSH internals)
         "toa_radiance_tiles": _q_toa_radiance_tiles,
         "toa_reflectance_pixel_sun": _q_toa_reflectance_pixel_sun,
@@ -870,4 +879,5 @@ def oracle_sql() -> dict[str, str]:
         "topn_orders": _TOPN_SQL,
         "setops_custkeys": _SETOPS_SQL,
         "media_describe": _MEDIA_SQL,
+        "sessionize": __import__("rio_toa_spark.operators.sessions", fromlist=["x"]).SESSIONIZE_ORACLE_SQL.format(gap_s=1800),
     }
