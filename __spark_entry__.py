@@ -647,8 +647,14 @@ def _q_media_describe(spark, sf_dir):
     )
 
 
+# The magic-byte CASE mirrors describe_media's sniffing semantically:
+# PNG (\x89...) and JPEG (\xff\xd8\xff) prefixes are unreachable from
+# utf-8-encoded text (0x89/0xff cannot start valid UTF-8), so only the
+# ASCII 'RIFF' arm is expressible — and that is the only reachable one.
 _MEDIA_SQL = (
-    "SELECT doc_id, 'application/octet-stream' AS media_type, "
+    "SELECT doc_id, "
+    "CASE WHEN substring(text, 1, 4) = 'RIFF' THEN 'audio/wav' "
+    "ELSE 'application/octet-stream' END AS media_type, "
     "CAST(octet_length(encode(text)) AS INTEGER) AS n_bytes, "
     + (_H60 % "text")
     + " AS content_hash FROM documents"
@@ -737,13 +743,23 @@ def _q_embedding_near_dups(spark, sf_dir):
 
 
 def _q_media_pipeline(spark, sf_dir):
-    # decode (stub) -> resize -> features: the multimodal plumbing path
+    # decode (stub) -> features: the multimodal plumbing path. The
+    # feature vector is posexploded to (media_id, feature_idx, value)
+    # scalar rows so the driver's canonicalizer (which sorts and hashes
+    # every column) never sees an unhashable array cell.
     from rio_toa_spark.operators.multimodal import decode_image, image_features
 
     d = _t(spark, sf_dir, "documents").select(
         F.col("doc_id").alias("media_id"), F.encode(F.col("text"), "utf-8").alias("payload")
     ).limit(100)
-    return image_features(decode_image(d))
+    feats = image_features(decode_image(d))
+    return feats.select(
+        "media_id", F.posexplode("features").alias("feature_idx", "value")
+    ).select(
+        "media_id",
+        "feature_idx",
+        F.round(F.col("value").cast("double"), 6).alias("value"),
+    )
 
 
 def _q_simhash_near_dups(spark, sf_dir):

@@ -7,11 +7,13 @@ print ONE JSON line:
   {"metric": "...", "value": <total sec>, "unit": "sec",
    "queries": {...}, "sf": ..., "throughput": {...}}
 
---scaling mode: run the same workload in two subprocesses at local[8]
-and local[32] on the same input and report both throughputs plus
-scaling efficiency = (thr_32 / thr_8) / 4 (the sandbox proxy for the
-north rule's N -> 4N executor criterion), appending the table to
-BENCH.md.
+--scaling mode: run the same workload in two subprocesses at two
+parallelism levels (default local[2] and local[8] — the canonical
+proxy documented in BENCH.md: PySpark runs ~2x its parallelism in OS
+processes, so 2/8 avoids oversubscribing this 32-core box) and report
+both throughputs plus scaling efficiency = (thr_hi / thr_lo) /
+(hi/lo) — the sandbox proxy for the north rule's N -> 4N executor
+criterion — writing the table to BENCH.md.
 
 Results are materialized with the noop sink (full execution, no
 driver collect).
@@ -212,7 +214,9 @@ def run_bench(cpus: int, sf_dir: str) -> dict:
     return result
 
 
-def run_scaling(sf_dir: str, levels=(8, 32)) -> dict:
+def run_scaling(sf_dir: str, levels=(2, 8)) -> dict:
+    if len(levels) != 2 or levels[0] >= levels[1]:
+        raise ValueError("--levels takes exactly two increasing values, got %r" % (levels,))
     results = {}
     env = dict(
         os.environ,

@@ -61,7 +61,12 @@ def sessionize(events_df: DataFrame, gap_minutes: int = DEFAULT_GAP_MIN) -> Data
 SESSIONIZE_ORACLE_SQL = """
 WITH marked AS (
   SELECT user_id, ts, event_id,
-    CASE WHEN epoch(ts) - epoch(lag(ts) OVER w) > {gap_s} THEN 1 ELSE 0 END AS new_s
+    -- CAST(floor(epoch(..))) mirrors Spark's cast(ts as long), which
+    -- TRUNCATES sub-second components; DuckDB's epoch() returns
+    -- fractional seconds, so without the floor the two engines could
+    -- split sessions differently when a gap lands within 1s of the
+    -- threshold.
+    CASE WHEN CAST(floor(epoch(ts)) AS BIGINT) - CAST(floor(epoch(lag(ts) OVER w)) AS BIGINT) > {gap_s} THEN 1 ELSE 0 END AS new_s
   FROM events
   WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC, event_id ASC)
 ), seq AS (

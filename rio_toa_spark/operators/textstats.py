@@ -111,8 +111,8 @@ def detect_language(df: DataFrame, text: str = "text", out: str = "lang_pred") -
             lambda e: F.struct(e["value"].alias("score"), e["key"].alias("lang")),
         )
     )
-    # array_max on struct orders by (score, lang); invert lang order for
-    # a deterministic smallest-name winner among ties
+    # array_max on struct orders by (score, lang): deterministic, and
+    # on score ties the LARGEST lang name wins (lexicographic)
     return df.withColumn(out, best["lang"]).drop("_scores")
 
 
