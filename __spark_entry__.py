@@ -352,6 +352,119 @@ def _simhash_sql() -> str:
     )
 
 
+# Full LSH pipeline twin: 16-perm minhash -> 4x4 banding with the
+# portable md5 bucket hash -> distinct candidates -> exact Jaccard
+# verify at 0.5. Mirrors dedup.minhash_signatures + lsh_candidate_pairs
+# + ngram_jaccard_pairs exactly.
+_MINHASH_LSH_SQL = r"""
+WITH toks AS (SELECT doc_id, %s AS __toks FROM documents),
+sh AS (SELECT doc_id, %s AS shingles FROM toks),
+sig AS (
+  SELECT doc_id, list_transform(range(0, 16),
+    i -> list_min(list_transform(shingles,
+      s -> ((1103515245 * (i + 1) %% 2147483647) * (%s %% 2147483647)
+            + (12345 * (i + 1) %% 2147483647)) %% 2147483647))) AS sig
+  FROM sh
+),
+banded AS (
+  SELECT doc_id, b AS band,
+    CAST(('0x' || substring(md5(array_to_string(sig[b*4+1:b*4+4], ',')), 1, 15)) AS BIGINT) AS bucket
+  FROM sig CROSS JOIN range(4) t(b)
+),
+cand AS (
+  SELECT DISTINCT l.doc_id AS a, r.doc_id AS b
+  FROM banded l JOIN banded r
+    ON l.band = r.band AND l.bucket = r.bucket AND l.doc_id < r.doc_id
+)
+SELECT a, b, round(jac, 9) AS jaccard FROM (
+  SELECT c.a, c.b,
+    CAST(len(list_intersect(sa.shingles, sb.shingles)) AS DOUBLE)
+      / len(list_distinct(list_concat(sa.shingles, sb.shingles))) AS jac
+  FROM cand c JOIN sh sa ON sa.doc_id = c.a JOIN sh sb ON sb.doc_id = c.b
+) WHERE jac >= 0.5
+""" % (_TOKS_SQL, _SHINGLES_SQL, _H60 % "s")
+
+
+def _simhash_pairs_sql(max_hamming: int = 6) -> str:
+    """SimHash near-dup twin: byte-band share (any of the 4 bands
+    equal) as the candidate condition, exact bit_count verify."""
+    band_share = " OR ".join(
+        "((l.sig >> %d) & 255) = ((r.sig >> %d) & 255)" % (8 * b, 8 * b) for b in range(4)
+    )
+    return (
+        "WITH sigs AS (%s) "
+        "SELECT l.doc_id AS a, r.doc_id AS b, "
+        "CAST(bit_count(xor(l.sig, r.sig)) AS INTEGER) AS hamming "
+        "FROM sigs l JOIN sigs r ON l.doc_id < r.doc_id AND (%s) "
+        "WHERE bit_count(xor(l.sig, r.sig)) <= %d"
+        % (_simhash_sql(), band_share, max_hamming)
+    )
+
+
+def _emb_dups_sql(threshold: float = 0.99, n_planes: int = 8) -> str:
+    """Embedding near-dup twin: the identical sign-random-projection
+    signature (md5-parity hyperplane weights, sequential double folds)
+    over the same planted-duplicate corpus, bucket equi-join + exact
+    cosine verify. DuckDB lambda index i is 1-based; Spark's sequence
+    is 0-based, hence the i - 1."""
+
+    def plane(j: int) -> str:
+        weighted = (
+            "list_reduce(list_prepend(CAST(0.0 AS DOUBLE), "
+            "list_transform(v, (x, i) -> x * (CASE WHEN "
+            "(CAST(('0x' || substring(md5('%d_' || CAST(i - 1 AS VARCHAR)), 1, 15)) AS BIGINT) & 1) = 1 "
+            "THEN 1.0 ELSE -1.0 END))), (a, x) -> a + x)" % j
+        )
+        return "(CASE WHEN %s > 0 THEN '1' ELSE '0' END)" % weighted
+
+    sig = " || ".join(plane(j) for j in range(n_planes))
+    cos = (
+        "list_reduce(list_prepend(CAST(0.0 AS DOUBLE), "
+        "list_transform(list_zip(l.v, r.v), p -> p[1] * p[2])), (a, x) -> a + x)"
+    )
+    return """
+WITH corpus AS (
+  SELECT vec_id, embedding FROM embeddings
+  UNION ALL
+  SELECT vec_id + 1000000 AS vec_id, embedding FROM embeddings WHERE vec_id < 50
+), normed AS (
+  SELECT vec_id, list_transform(embedding,
+    x -> CAST(x AS DOUBLE) / sqrt(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+         list_transform(embedding, y -> CAST(y AS DOUBLE) * CAST(y AS DOUBLE))),
+         (a, x) -> a + x))) AS v
+  FROM corpus
+), sigs AS (
+  SELECT vec_id, v, %s AS sig FROM normed
+)
+SELECT a, b, round(cosine, 9) AS cosine FROM (
+  SELECT l.vec_id AS a, r.vec_id AS b, %s AS cosine
+  FROM sigs l JOIN sigs r ON l.sig = r.sig AND l.vec_id < r.vec_id
+) WHERE cosine >= %r
+""" % (sig, cos, threshold)
+
+
+def _pages_sql() -> str:
+    paths = _fixture_paths()
+    return (
+        "SELECT url, regexp_extract(decode(html), '<p>(.*)</p>', 1, 's') = text "
+        "AS byte_identical FROM read_parquet('%s')" % paths["pages"]
+    )
+
+
+def _pages_pip_sql() -> str:
+    paths = _fixture_paths()
+    return (
+        "SELECT p.url, t.scene_id || '/' || CAST(t.tile_row AS VARCHAR) || '/' "
+        "|| CAST(t.tile_col AS VARCHAR) AS tile_id "
+        "FROM read_parquet('%s') p JOIN ("
+        "  SELECT DISTINCT scene_id, tile_row, tile_col, bounds_w, bounds_s, bounds_e, bounds_n"
+        "  FROM read_parquet('%s')"
+        ") t ON p.lon >= t.bounds_w AND p.lon <= t.bounds_e "
+        "AND p.lat >= t.bounds_s AND p.lat <= t.bounds_n"
+        % (paths["pages"], paths["tiles"])
+    )
+
+
 def _q_token_stats(spark, sf_dir):
     from rio_toa_spark.operators.textstats import char_count, token_count
 
@@ -693,6 +806,35 @@ def _q_toa_brighttemp_tiles(spark, sf_dir):
     return toa.tile_stats(toa.brightness_temp_tiles(tiles, scenes, band=10))
 
 
+def _q_toa_rgb_stack(spark, sf_dir):
+    # Multiband reflectance + photometric-rgb stacking (reference
+    # reflectance.py:93-96,198-201 semantics): three bands computed in
+    # one pass, stacked to one row per tile with plane order [4,3,2].
+    # The stats projection keeps the driver output canonicalizable;
+    # the ONLY shuffle in this plan is the stack's sink-side groupBy
+    # (asserted in tests/test_plans.py).
+    from rio_toa_spark.operators import toa
+
+    paths = _fixture_paths()
+    tiles = spark.read.parquet(paths["tiles"])
+    scenes = spark.read.parquet(paths["scenes"])
+    stacked = toa.stack_bands(
+        toa.reflectance_tiles(tiles, scenes, bands=[4, 3, 2]), bands=[4, 3, 2]
+    )
+    return stacked.select(
+        "scene_id",
+        "tile_row",
+        "tile_col",
+        F.size("planes").alias("n_planes"),
+        F.array_join(F.transform("bands", lambda b: b.cast("string")), ",").alias("band_order"),
+        F.aggregate(
+            F.transform("planes", lambda p: F.length(p).cast("long")),
+            F.lit(0).cast("long"),
+            lambda a, x: a + x,
+        ).alias("stacked_bytes"),
+    )
+
+
 def _q_pages_extract_text(spark, sf_dir):
     from rio_toa_spark.operators.textstats import with_extracted_text
 
@@ -734,10 +876,20 @@ def _q_ann_ivf(spark, sf_dir):
 
 
 def _q_embedding_near_dups(spark, sf_dir):
+    # The raw corpus has no true near-dups (max off-diagonal cosine at
+    # sf0.01 is ~0.51), so near-duplicates are PLANTED: exact copies of
+    # the first 50 vectors under shifted ids. The sign-LSH bucket join
+    # must recover exactly those 50 pairs at threshold 0.99 — proving
+    # candidates, verification, and the bucket join end to end, with an
+    # exact DuckDB twin (_emb_dups_sql).
     from rio_toa_spark.operators.dedup import embedding_near_dups
 
-    e = _t(spark, sf_dir, "embeddings")
-    return embedding_near_dups(e, threshold=0.9).select(
+    e = _t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    planted = e.where(F.col("vec_id") < 50).select(
+        (F.col("vec_id") + 1000000).alias("vec_id"), "embedding"
+    )
+    corpus = e.unionByName(planted)
+    return embedding_near_dups(corpus, threshold=0.99).select(
         "a", "b", F.round("cosine", 9).alias("cosine")
     )
 
@@ -766,7 +918,9 @@ def _q_simhash_near_dups(spark, sf_dir):
     from rio_toa_spark.operators.dedup import simhash_near_dups
 
     d = _t(spark, sf_dir, "documents")
-    return simhash_near_dups(d, max_hamming=6).select("a", "b", "hamming")
+    return simhash_near_dups(d, max_hamming=6).select(
+        "a", "b", F.col("hamming").cast("int").alias("hamming")
+    )
 
 
 # ---------------------------------------------------------------------
@@ -832,16 +986,20 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "setops_custkeys": _q_setops_custkeys,
         "media_describe": _q_media_describe,
         "sessionize": _q_sessionize,
-        # rows-only (non-SQL-expressible: binary pixels / LSH internals)
+        # fixture-parquet queries (DuckDB twins read the same files)
+        "pages_extract_text": _q_pages_extract_text,
+        "pages_pip_tiles": _q_pages_pip_tiles,
+        # LSH families with full-pipeline SQL twins
+        "minhash_lsh_pairs": _q_minhash_lsh_pairs,
+        "embedding_near_dups": _q_embedding_near_dups,
+        "simhash_near_dups": _q_simhash_near_dups,
+        # rows-only (non-SQL-expressible: binary pixels / approximate
+        # ANN recall / stubbed decode)
         "toa_radiance_tiles": _q_toa_radiance_tiles,
         "toa_reflectance_pixel_sun": _q_toa_reflectance_pixel_sun,
         "toa_brighttemp_tiles": _q_toa_brighttemp_tiles,
-        "pages_extract_text": _q_pages_extract_text,
-        "pages_pip_tiles": _q_pages_pip_tiles,
-        "minhash_lsh_pairs": _q_minhash_lsh_pairs,
+        "toa_rgb_stack": _q_toa_rgb_stack,
         "ann_ivf": _q_ann_ivf,
-        "embedding_near_dups": _q_embedding_near_dups,
-        "simhash_near_dups": _q_simhash_near_dups,
         "media_pipeline": _q_media_pipeline,
     }
 
@@ -896,4 +1054,10 @@ def oracle_sql() -> dict[str, str]:
         "setops_custkeys": _SETOPS_SQL,
         "media_describe": _MEDIA_SQL,
         "sessionize": __import__("rio_toa_spark.operators.sessions", fromlist=["x"]).SESSIONIZE_ORACLE_SQL.format(gap_s=1800),
+        # formerly rows-only, now exact-twinned
+        "minhash_lsh_pairs": _MINHASH_LSH_SQL,
+        "simhash_near_dups": _simhash_pairs_sql(max_hamming=6),
+        "embedding_near_dups": _emb_dups_sql(threshold=0.99),
+        "pages_extract_text": _pages_sql(),
+        "pages_pip_tiles": _pages_pip_sql(),
     }

@@ -50,13 +50,29 @@ def cmd_radiance(args):
 
 
 def cmd_reflectance(args):
+    import re
+
     from rio_toa_spark.operators import toa
+    from rio_toa_spark.sources.tables import read_band_files
 
     spark = _spark(args)
+    # variadic sources: TILES may be a comma-separated list of parquet
+    # paths (reference cli.py:54-55 takes nargs=-1 srcs)
+    paths = args.tiles.split(",")
+    if args.l8_bidx == 0:
+        # reference cli.py:96-97: bidx 0 derives each band from the
+        # source file name via the template; --bands then defaults to
+        # every band present in the file names
+        tiles = read_band_files(spark, paths, template=args.template)
+        pattern = re.compile(args.template.replace("{b}", "([0-9]+?)"))
+        bands = args.bands or sorted({int(pattern.match(p).group(1)) for p in paths})
+    else:
+        tiles = spark.read.parquet(*paths)
+        bands = args.bands or [4]
     out = toa.reflectance_tiles(
-        spark.read.parquet(args.tiles),
+        tiles,
         spark.read.parquet(args.scenes),
-        bands=args.bands,
+        bands=bands,
         dst_dtype=args.dst_dtype,
         rescale_factor=args.rescale_factor,
         clip=not args.no_clip,
@@ -123,8 +139,15 @@ def main(argv=None):
 
     p = sub.add_parser("reflectance")
     common(p)
-    p.add_argument("--bands", type=int, nargs="+", default=[4])
+    p.add_argument("--bands", type=int, nargs="+", default=None)
     p.add_argument("--pixel-sunangle", "-p", action="store_true")
+    p.add_argument(
+        "--l8-bidx",
+        type=int,
+        default=None,
+        help="0 = derive band from each source file name (reference cli.py:96-97)",
+    )
+    p.add_argument("--template", "-t", default=r".*_B{b}\.parquet")
     p.set_defaults(fn=cmd_reflectance)
 
     p = sub.add_parser("brighttemp")

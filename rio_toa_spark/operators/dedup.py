@@ -35,13 +35,15 @@ _MINHASH_B = 12345
 
 def _parallelize(df: DataFrame) -> DataFrame:
     """Spread compute-heavy narrow ops across the cluster when the
-    source arrives in too few partitions (tiny-file inputs read as one
-    task). At real scale inputs have plentiful splits and this is a
-    no-op; the check costs one plan inspection."""
+    source arrives as too few input files (tiny-file inputs read as
+    one task). Uses the plan's file listing — NOT df.rdd, which would
+    force a full plan-to-RDD conversion on the driver per call. At
+    real scale inputs have plentiful file splits and this is a no-op."""
     target = df.sparkSession.sparkContext.defaultParallelism
-    if df.rdd.getNumPartitions() < max(2, target // 2):
-        return df.repartition(target)
-    return df
+    files = df.inputFiles()
+    if files and len(files) >= max(2, target // 2):
+        return df
+    return df.repartition(target)
 
 
 def normalized_text(text_col: Column) -> Column:
@@ -76,23 +78,20 @@ def shingle_hashes(text_col: Column, n: int = 3) -> Column:
     return F.transform(shingles(text_col, n), lambda s: F.conv(F.substring(F.md5(s), 1, 15), 16, 10).cast("long"))
 
 
-def minhash_signatures(
-    df: DataFrame, text: str = "text", key: str = "doc_id", num_hashes: int = 16, shingle_n: int = 3
-) -> DataFrame:
-    """MinHash signature per doc: sig_i = min over shingles of
-    ((a_i * (h mod M31) + b_i) mod M31), with a_i/b_i derived
-    deterministically from i — reproducible in ANSI SQL.
+def minhash_from_hashes(hashes: Column, num_hashes: int = 16) -> Column:
+    """MinHash signature from a shingle-hash array column: sig_i = min
+    over shingles of ((a_i * (h mod M31) + b_i) mod M31), with a_i/b_i
+    derived deterministically from i — reproducible in ANSI SQL.
 
-    Evaluation shape matters: the md5 per shingle is computed ONCE and
+    Evaluation shape matters: the hash per shingle is computed ONCE and
     the k permutations fold over it as an elementwise-min aggregate
     (a per-perm array_min would re-evaluate the md5 k times — measured
     16x slower on the bench corpus)."""
-    df = _parallelize(df)
     a_arr = F.array(*[F.lit(_MINHASH_A * (i + 1) % MERSENNE31) for i in range(num_hashes)])
     b_arr = F.array(*[F.lit(_MINHASH_B * (i + 1) % MERSENNE31) for i in range(num_hashes)])
     init = F.array_repeat(F.lit(MERSENNE31).cast("long"), num_hashes)
-    sig = F.aggregate(
-        shingle_hashes(F.col(text), shingle_n),
+    return F.aggregate(
+        hashes,
         init,
         lambda acc, h: F.zip_with(
             acc,
@@ -104,6 +103,14 @@ def minhash_signatures(
             ),
         ),
     )
+
+
+def minhash_signatures(
+    df: DataFrame, text: str = "text", key: str = "doc_id", num_hashes: int = 16, shingle_n: int = 3
+) -> DataFrame:
+    """MinHash signature per doc (see minhash_from_hashes)."""
+    df = _parallelize(df)
+    sig = minhash_from_hashes(shingle_hashes(F.col(text), shingle_n), num_hashes)
     return df.select(F.col(key), sig.alias("minhash"))
 
 
@@ -111,35 +118,69 @@ def lsh_candidate_pairs(
     sig_df: DataFrame, key: str = "doc_id", bands: int = 4, rows_per_band: int = 4
 ) -> DataFrame:
     """LSH banding: split each signature into bands, hash each band to
-    a bucket, self-join on (band, bucket). Output: distinct candidate
-    (a, b) pairs with a < b (deterministic order)."""
-    # persist: the LSH self-join would otherwise recompute the full
-    # signature pipeline for both sides
+    a bucket, then emit all intra-bucket pairs. Output: distinct
+    candidate (a, b) pairs with a < b (deterministic order).
+
+    The bucket hash is the portable md5-60bit hash of the band slice
+    (comma-joined) — identical in DuckDB, so the whole candidate step
+    has an exact SQL oracle twin.
+
+    Shape: the signature pipeline runs ONCE — groupBy(band, bucket) +
+    sorted collect_list + within-bucket pair expansion. A bucket
+    self-join would either recompute the signatures for both sides
+    (Spark's self-join attribute dedup defeats ReusedExchange) or
+    require caching them; the group form needs neither, costs one
+    shuffle, and the quadratic expansion stays inside buckets, which
+    LSH keeps small w.h.p. (run exact_dedup first so identical docs
+    don't form a degenerate giant bucket)."""
+
     banded = sig_df.select(
         F.col(key),
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(b).alias("band"),
-                        F.hash(F.slice(F.col("minhash"), b * rows_per_band + 1, rows_per_band)).alias("bucket"),
-                    )
-                    for b in range(bands)
-                ]
-            )
-        ).alias("bb"),
-    ).select(key, "bb.band", "bb.bucket").persist()
-    left = banded.alias("l")
-    right = banded.alias("r")
+        F.explode(_band_buckets("minhash", bands, rows_per_band)).alias("bb"),
+    ).select(key, "bb.band", "bb.bucket")
+    buckets = (
+        banded.groupBy("band", "bucket")
+        .agg(F.sort_array(F.collect_list(F.col(key))).alias("_ks"))
+        .where(F.size("_ks") >= 2)
+        # pin parallelism for the quadratic expansion (see
+        # _lsh_jaccard_fused: AQE coalesces by bytes, not by work)
+        .repartition(sig_df.sparkSession.sparkContext.defaultParallelism)
+    )
     return (
-        left.join(
-            right,
-            (F.col("l.band") == F.col("r.band"))
-            & (F.col("l.bucket") == F.col("r.bucket"))
-            & (F.col("l.%s" % key) < F.col("r.%s" % key)),
-        )
-        .select(F.col("l.%s" % key).alias("a"), F.col("r.%s" % key).alias("b"))
+        buckets.select(F.explode(_pairs_within("_ks")).alias("p"))
+        .select(F.col("p.a"), F.col("p.b"))
         .distinct()
+    )
+
+
+def _band_buckets(sig_col: str, bands: int, rows_per_band: int) -> Column:
+    """Array of (band, bucket) structs for a signature column; bucket
+    is the portable md5-60bit hash of the comma-joined band slice."""
+
+    def band_bucket(b: int) -> Column:
+        slice_str = F.array_join(
+            F.transform(
+                F.slice(F.col(sig_col), b * rows_per_band + 1, rows_per_band),
+                lambda x: x.cast("string"),
+            ),
+            ",",
+        )
+        return F.struct(F.lit(b).alias("band"), portable_hash64(slice_str).alias("bucket"))
+
+    return F.array(*[band_bucket(b) for b in range(bands)])
+
+
+def _pairs_within(ks: str) -> Column:
+    """All (a, b) pairs with a < b from a SORTED array column — the
+    within-bucket quadratic step, as a native nested transform."""
+    return F.flatten(
+        F.transform(
+            F.col(ks),
+            lambda x, i: F.transform(
+                F.slice(F.col(ks), i + 2, F.size(F.col(ks))),
+                lambda y: F.struct(x.alias("a"), y.alias("b")),
+            ),
+        )
     )
 
 
@@ -152,21 +193,93 @@ def ngram_jaccard_pairs(
     threshold: float = 0.8,
 ) -> DataFrame:
     """Exact n-gram Jaccard for candidate pairs (or LSH candidates when
-    ``pairs`` is None): |A ∩ B| / |A ∪ B| >= threshold."""
+    ``pairs`` is None): |A ∩ B| / |A ∪ B| >= threshold.
+
+    When ``pairs`` is None the LSH candidate step and the verify step
+    are FUSED: the shingle arrays ride through the bucket groupBy, so
+    candidates emerge with both shingle sets attached and the Jaccard
+    verifies in place. The corpus text is read and shingled exactly
+    once (the join-back form re-shingles it twice more — measured 2x
+    slower end-to-end at bench scale), and nothing is cached."""
+    inter_ab = F.size(F.array_intersect(F.col("sh_a"), F.col("sh_b")))
+    union_ab = F.size(F.array_union(F.col("sh_a"), F.col("sh_b")))
     if pairs is None:
-        sigs = minhash_signatures(df, text=text, key=key)
-        pairs = lsh_candidate_pairs(sigs, key=key)
-    sh = _parallelize(df).select(F.col(key), shingles(F.col(text), shingle_n).alias("sh")).persist()
+        return _lsh_jaccard_fused(df, text, key, shingle_n, threshold)
+    sh = _parallelize(df).select(F.col(key), shingles(F.col(text), shingle_n).alias("sh"))
     a = sh.select(F.col(key).alias("a"), F.col("sh").alias("sh_a"))
     b = sh.select(F.col(key).alias("b"), F.col("sh").alias("sh_b"))
-    inter = F.size(F.array_intersect(F.col("sh_a"), F.col("sh_b")))
-    union = F.size(F.array_union(F.col("sh_a"), F.col("sh_b")))
     return (
         pairs.join(a, "a")
         .join(b, "b")
-        .withColumn("jaccard", inter.cast("double") / union)
+        .withColumn("jaccard", inter_ab.cast("double") / union_ab)
         .where(F.col("jaccard") >= threshold)
         .select("a", "b", "jaccard")
+    )
+
+
+def _lsh_jaccard_fused(
+    df: DataFrame,
+    text: str,
+    key: str,
+    shingle_n: int,
+    threshold: float,
+    num_hashes: int = 16,
+    bands: int = 4,
+    rows_per_band: int = 4,
+) -> DataFrame:
+    """Single-pass MinHash-LSH near-dup pipeline: shingle -> minhash ->
+    band buckets (shingles carried along) -> within-bucket pairs with
+    exact Jaccard verify. One text scan, two shuffles (bucket groupBy +
+    final distinct), zero caching, zero joins."""
+    sh = _parallelize(df).select(F.col(key), shingles(F.col(text), shingle_n).alias("sh"))
+    hashes = F.transform(
+        F.col("sh"), lambda s: F.conv(F.substring(F.md5(s), 1, 15), 16, 10).cast("long")
+    )
+    sig_df = sh.select(
+        F.col(key), F.col("sh"), minhash_from_hashes(hashes, num_hashes).alias("minhash")
+    )
+    banded = sig_df.select(
+        key,
+        "sh",
+        F.explode(_band_buckets("minhash", bands, rows_per_band)).alias("bb"),
+    ).select(key, "sh", "bb.band", "bb.bucket")
+    buckets = (
+        banded.groupBy("band", "bucket")
+        .agg(
+            F.sort_array(
+                F.collect_list(F.struct(F.col(key).alias("a"), F.col("sh").alias("s")))
+            ).alias("_ms")
+        )
+        .where(F.size("_ms") >= 2)
+        # explicit repartition: the bucket rows are few BYTES but each
+        # expands quadratically — AQE's size-based coalescing would
+        # squeeze this stage to ~1 task (measured 4x end-to-end
+        # regression); a user repartition pins the parallelism
+        .repartition(df.sparkSession.sparkContext.defaultParallelism)
+    )
+    pair_structs = F.flatten(
+        F.transform(
+            F.col("_ms"),
+            lambda x, i: F.transform(
+                F.slice(F.col("_ms"), i + 2, F.size(F.col("_ms"))),
+                lambda y: F.struct(
+                    x["a"].alias("a"), y["a"].alias("b"),
+                    x["s"].alias("sh_a"), y["s"].alias("sh_b"),
+                ),
+            ),
+        )
+    )
+    jaccard = (
+        F.size(F.array_intersect(F.col("sh_a"), F.col("sh_b"))).cast("double")
+        / F.size(F.array_union(F.col("sh_a"), F.col("sh_b")))
+    )
+    return (
+        buckets.select(F.explode(pair_structs).alias("p"))
+        .select("p.a", "p.b", "p.sh_a", "p.sh_b")
+        .withColumn("jaccard", jaccard)
+        .where(F.col("jaccard") >= threshold)
+        .select("a", "b", "jaccard")
+        .distinct()
     )
 
 
@@ -200,15 +313,26 @@ def simhash(text_col: Column, bits: int = 32, shingle_n: int = 2) -> Column:
 
 
 def simhash_near_dups(
-    df: DataFrame, text: str = "text", key: str = "doc_id", bits: int = 32, max_hamming: int = 3
+    df: DataFrame,
+    text: str = "text",
+    key: str = "doc_id",
+    bits: int = 32,
+    max_hamming: int = 3,
+    shingle_n: int = 3,
 ) -> DataFrame:
     """Near-dup pairs by SimHash Hamming distance. Candidates come
     from 4-way bucket banding of the signature (any pair within
-    hamming<=3 shares at least one identical byte-band), verified
-    exactly with bit_count."""
+    hamming <= bits/4 - 1 per band shares at least one identical
+    byte-band), verified exactly with bit_count.
+
+    Same single-pass groupBy(bucket) + within-bucket expansion shape
+    as lsh_candidate_pairs — one shuffle, no cache, no signature
+    recompute."""
     n_bands = 4
     band_width = bits // n_bands
-    sig_df = _parallelize(df).select(F.col(key), simhash(F.col(text), bits).alias("sig"))
+    sig_df = _parallelize(df).select(
+        F.col(key), simhash(F.col(text), bits, shingle_n=shingle_n).alias("sig")
+    )
     banded = sig_df.select(
         key,
         "sig",
@@ -223,18 +347,35 @@ def simhash_near_dups(
                 ]
             )
         ).alias("bb"),
-    ).select(key, "sig", "bb.band", "bb.bucket").persist()
-    l, r = banded.alias("l"), banded.alias("r")
-    hamming = F.bit_count(F.col("l.sig").bitwiseXOR(F.col("r.sig")))
-    return (
-        l.join(
-            r,
-            (F.col("l.band") == F.col("r.band"))
-            & (F.col("l.bucket") == F.col("r.bucket"))
-            & (F.col("l.%s" % key) < F.col("r.%s" % key)),
+    ).select(key, "sig", "bb.band", "bb.bucket")
+    buckets = (
+        banded.groupBy("band", "bucket")
+        .agg(
+            F.sort_array(
+                F.collect_list(F.struct(F.col(key).alias("a"), F.col("sig").alias("s")))
+            ).alias("_ms")
         )
+        .where(F.size("_ms") >= 2)
+        .repartition(df.sparkSession.sparkContext.defaultParallelism)
+    )
+    pair_structs = F.flatten(
+        F.transform(
+            F.col("_ms"),
+            lambda x, i: F.transform(
+                F.slice(F.col("_ms"), i + 2, F.size(F.col("_ms"))),
+                lambda y: F.struct(
+                    x["a"].alias("a"), y["a"].alias("b"),
+                    x["s"].alias("sa"), y["s"].alias("sb"),
+                ),
+            ),
+        )
+    )
+    hamming = F.bit_count(F.col("sa").bitwiseXOR(F.col("sb")))
+    return (
+        buckets.select(F.explode(pair_structs).alias("p"))
+        .select("p.a", "p.b", "p.sa", "p.sb")
         .where(hamming <= max_hamming)
-        .select(F.col("l.%s" % key).alias("a"), F.col("r.%s" % key).alias("b"), hamming.alias("hamming"))
+        .select("a", "b", hamming.alias("hamming"))
         .distinct()
     )
 
@@ -254,11 +395,17 @@ def embedding_near_dups(
     bucket join replaces the cross join; brute force remains available
     through similarity.cosine_topk for small dims.
     """
-    dim_col = F.size(F.col(vec))
-    norm = F.sqrt(F.aggregate(F.col(vec), F.lit(0.0), lambda a, x: a + x * x))
+    # cast to double BEFORE the multiply: float32*float32 rounds to
+    # float32 while the DuckDB oracle twin multiplies doubles — the
+    # explicit cast makes both engines do the identical double ops
+    norm = F.sqrt(
+        F.aggregate(
+            F.col(vec), F.lit(0.0), lambda a, x: a + x.cast("double") * x.cast("double")
+        )
+    )
     normed = _parallelize(emb_df).select(
         F.col(key),
-        F.transform(F.col(vec), lambda x: x / norm).alias("_v"),
+        F.transform(F.col(vec), lambda x: x.cast("double") / norm).alias("_v"),
     )
 
     def plane_sign(j: int) -> Column:
@@ -282,19 +429,42 @@ def embedding_near_dups(
         return F.when(weighted > 0, F.lit(1)).otherwise(F.lit(0))
 
     sig = F.concat_ws("", *[plane_sign(j).cast("string") for j in range(n_planes)])
-    bucketed = normed.withColumn("_sig", sig).persist()
-    l, r = bucketed.alias("l"), bucketed.alias("r")
+    bucketed = normed.withColumn("_sig", sig)
+    # groupBy(signature) + within-bucket expansion: the normalization
+    # and 8-plane signature run once per vector (a bucket self-join
+    # would run them twice); buckets are tiny because a full n_planes
+    # sign match is required
+    buckets = (
+        bucketed.groupBy("_sig")
+        .agg(
+            F.sort_array(
+                F.collect_list(F.struct(F.col(key).alias("a"), F.col("_v").alias("v")))
+            ).alias("_ms")
+        )
+        .where(F.size("_ms") >= 2)
+        .repartition(emb_df.sparkSession.sparkContext.defaultParallelism)
+    )
+    pair_structs = F.flatten(
+        F.transform(
+            F.col("_ms"),
+            lambda x, i: F.transform(
+                F.slice(F.col("_ms"), i + 2, F.size(F.col("_ms"))),
+                lambda y: F.struct(
+                    x["a"].alias("a"), y["a"].alias("b"),
+                    x["v"].alias("va"), y["v"].alias("vb"),
+                ),
+            ),
+        )
+    )
     cos = F.aggregate(
-        F.zip_with(F.col("l._v"), F.col("r._v"), lambda x, y: x * y),
+        F.zip_with(F.col("va"), F.col("vb"), lambda x, y: x * y),
         F.lit(0.0),
         lambda a, x: a + x,
     )
     return (
-        l.join(
-            r,
-            (F.col("l._sig") == F.col("r._sig")) & (F.col("l.%s" % key) < F.col("r.%s" % key)),
-        )
+        buckets.select(F.explode(pair_structs).alias("p"))
+        .select("p.a", "p.b", "p.va", "p.vb")
         .withColumn("cosine", cos)
         .where(F.col("cosine") >= threshold)
-        .select(F.col("l.%s" % key).alias("a"), F.col("r.%s" % key).alias("b"), "cosine")
+        .select("a", "b", "cosine")
     )

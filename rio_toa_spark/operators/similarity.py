@@ -91,18 +91,26 @@ def cosine_topk_ivf(
     q_key: str = "q_id",
     q_vec: str = "q_vec",
     sample_fraction: float = 1.0,
+    max_sample: int = 100_000,
     seed: int = 13,
 ) -> DataFrame:
     """IVF approximate top-k: centroids from a deterministic seeded
     sample; corpus rows carry their nearest-centroid list id; each
     query probes its n_probe closest lists. Scales as
-    O(rows/n_centroids * n_probe) per query instead of O(rows)."""
+    O(rows/n_centroids * n_probe) per query instead of O(rows).
+
+    The centroid build trains Lloyd's on a driver-side sample that is
+    HARD-CAPPED at ``max_sample`` rows (limit() short-circuits the
+    scan) — never an O(corpus) collect, so the build path is safe at
+    10^9+ vectors; training k-means on a bounded sample is the
+    standard IVF procedure. Quality only needs sample >> n_centroids."""
     spark = emb_df.sparkSession
     sample = np.array(
         [
             r[0]
             for r in emb_df.select(vec)
             .sample(fraction=sample_fraction, seed=seed)
+            .limit(max_sample)
             .collect()
         ],
         dtype=np.float64,

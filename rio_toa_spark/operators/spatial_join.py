@@ -366,8 +366,32 @@ def _knn_cells(points_df, tiles, k, level, radius, lon, lat, point_key):
     )
     exact_part = ranked.join(complete_keys, point_key)
     stragglers = points_df.join(complete_keys, point_key, "left_anti")
-    fallback = _knn_broadcast(stragglers, tiles, k, lon, lat, point_key)
+    # stragglers get a DISTRIBUTED exact pass (cross join + window) —
+    # never _knn_broadcast, which collects the full centroid table to
+    # the driver and would crash at exactly the scale that motivates
+    # the 'cells' strategy. The straggler side is tiny by construction,
+    # so Spark broadcasts it and streams the centroid side map-side.
+    fallback = _knn_exact_shuffle(stragglers, tiles, k, lon, lat, point_key)
     return exact_part.unionByName(fallback)
+
+
+def _knn_exact_shuffle(points_df, tiles, k, lon, lat, point_key):
+    """Exact kNN with no driver-side collect of either input: cross
+    join + per-point window top-k. Intended for small point sets (the
+    'cells' stragglers); cost is |points| x |centroids| scored rows,
+    all executor-side."""
+    from pyspark.sql.window import Window
+
+    dist = F.sqrt((F.col(lon) - F.col("cx")) ** 2 + (F.col(lat) - F.col("cy")) ** 2)
+    w = Window.partitionBy(point_key).orderBy(F.col("dist").asc(), F.col("tile_id").asc())
+    return (
+        points_df.select(point_key, lon, lat)
+        .crossJoin(tiles.select("tile_id", "cx", "cy"))
+        .withColumn("dist", dist)
+        .withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select(point_key, "tile_id", "dist", F.col("rank").cast("int").alias("rank"))
+    )
 
 
 # ----------------------------------------------------------- partitioning

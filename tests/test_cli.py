@@ -1,0 +1,133 @@
+"""CLI-surface tests: direct ``main()`` invocations of all five
+subcommands over the unit fixtures, plus the parsemtl golden against
+the reference's own reduced MTL artifact (port of reference
+tests/test_cli.py:174-191) and the --l8-bidx 0 filename-band path
+(reference cli.py:54-55,96-97)."""
+
+import io
+import json
+import os
+
+import pyarrow.dataset as ds
+import pyarrow.parquet as pq
+import pytest
+
+from rio_toa_spark import cli
+
+REF_DATA = "/root/reference/tests/data"
+
+# the reference's own expected parse of mtltest_*.txt
+# (tests/test_cli.py:174-191)
+PARSEMTL_GOLDEN = {
+    "L1_METADATA_FILE": {
+        "METADATA_FILE_INFO": {
+            "ORIGIN": "Image courtesy of the U.S. Geological Survey",
+            "LANDSAT_SCENE_ID": "LC80100202015018LGN00",
+            "PROCESSING_SOFTWARE_VERSION": "LPGS_2.4.0",
+            "REQUEST_ID": "0501501184561_00001",
+        },
+        "PRODUCT_METADATA": {
+            "SCENE_CENTER_TIME": "15:10:22.4142571Z",
+            "DATE_ACQUIRED": "2015-01-18",
+            "DATA_TYPE": "L1T",
+        },
+    }
+}
+
+
+def test_parsemtl_stdin_golden(monkeypatch, capsys):
+    with open(os.path.join(REF_DATA, "mtltest_LC80100202015018LGN00_MTL.txt")) as fh:
+        monkeypatch.setattr("sys.stdin", io.StringIO(fh.read()))
+    cli.main(["parsemtl"])
+    assert json.loads(capsys.readouterr().out) == PARSEMTL_GOLDEN
+
+
+def test_parsemtl_file_arg(capsys):
+    cli.main(["parsemtl", os.path.join(REF_DATA, "LC80100202015018LGN00_MTL.txt")])
+    parsed = json.loads(capsys.readouterr().out)
+    info = parsed["L1_METADATA_FILE"]["METADATA_FILE_INFO"]
+    assert info["LANDSAT_SCENE_ID"] == "LC80100202015018LGN00"
+
+
+def _hive_rows(dst):
+    return ds.dataset(dst, format="parquet", partitioning="hive").to_table()
+
+
+def test_cli_radiance_uint16(spark, fixture_paths, tmp_path):
+    dst = str(tmp_path / "rad")
+    cli.main(
+        [
+            "radiance",
+            fixture_paths["tiles"],
+            fixture_paths["scenes"],
+            dst,
+            "--band", "5",
+            "--dst-dtype", "uint16",
+            "-r", "55000",
+        ]
+    )
+    table = _hive_rows(dst)
+    assert table.num_rows == 16  # 4 scenes x 2x2 grid
+    assert set(table.column("band").to_pylist()) == {5}
+    assert table.column("dtype").to_pylist()[0] == "uint16"
+    # hive layout: scene_id=*/band=5 directories
+    scene_dirs = [p for p in os.listdir(dst) if p.startswith("scene_id=")]
+    assert scene_dirs
+    assert any("band=5" in p for p in os.listdir(os.path.join(dst, scene_dirs[0])))
+
+
+def test_cli_brighttemp_celsius(spark, fixture_paths, tmp_path):
+    dst = str(tmp_path / "bt")
+    cli.main(
+        [
+            "brighttemp",
+            fixture_paths["tiles"],
+            fixture_paths["scenes"],
+            dst,
+            "--band", "10",
+            "--temp-scale", "C",
+        ]
+    )
+    table = _hive_rows(dst)
+    assert table.num_rows == 16
+    assert set(table.column("band").to_pylist()) == {10}
+
+
+def test_cli_reflectance_l8_bidx_filename_bands(spark, fixture_paths, tmp_path):
+    """--l8-bidx 0: band derived from each source file name; --bands
+    defaults to all bands present in the names."""
+    full = pq.read_table(fixture_paths["tiles"])
+    srcs = []
+    for b in (3, 4):
+        p = str(tmp_path / ("scene_B%d.parquet" % b))
+        pq.write_table(full.filter(ds.field("band") == b), p)
+        srcs.append(p)
+    dst = str(tmp_path / "refl")
+    cli.main(
+        ["reflectance", ",".join(srcs), fixture_paths["scenes"], dst, "--l8-bidx", "0"]
+    )
+    table = _hive_rows(dst)
+    assert set(table.column("band").to_pylist()) == {3, 4}
+    assert table.num_rows == 32
+
+
+def test_cli_pipjoin_salted(spark, fixture_paths, tmp_path):
+    dst = str(tmp_path / "pip")
+    cli.main(
+        [
+            "pipjoin",
+            fixture_paths["pages"],
+            fixture_paths["scenes"],
+            dst,
+            "--strategy", "salted",
+            "--level", "7",
+        ]
+    )
+    table = _hive_rows(dst)
+    assert table.num_rows == 1020  # unit-fixture golden (verify skill)
+    assert {"url", "scene_id", "lon", "lat"} <= set(table.column_names)
+
+
+def test_cli_rejects_unknown_subcommand():
+    with pytest.raises(SystemExit):
+        cli.main(["frobnicate"])

@@ -95,6 +95,33 @@ def test_relational_query_codegen(spark):
     assert "partial_sum" in plan
 
 
+def test_rgb_stack_single_shuffle(spark, tiles_df, scenes_df):
+    """Multiband stack: the groupBy that assembles band planes is the
+    ONLY hash-partition exchange in the whole reflectance+stack plan."""
+    stacked = toa.stack_bands(
+        toa.reflectance_tiles(tiles_df, scenes_df, bands=[4, 3, 2]), bands=[4, 3, 2]
+    )
+    plan = _plan(stacked)
+    assert plan.count("Exchange hashpartitioning") == 1, plan
+
+
+def test_lsh_candidates_single_pass_uncached(spark):
+    """The LSH candidate step must not cache (no InMemoryRelation) and
+    must not self-join the signature pipeline: one groupBy shuffle for
+    bucketing + one for the final distinct."""
+    from rio_toa_spark.operators import dedup
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    sigs = dedup.minhash_signatures(docs, num_hashes=8)
+    pairs = dedup.lsh_candidate_pairs(sigs, bands=4, rows_per_band=2)
+    plan = _plan(pairs)
+    assert "InMemoryRelation" not in plan and "InMemoryTableScan" not in plan
+    assert plan.count("Exchange hashpartitioning") <= 2, plan
+    # only ONE signature computation feeds the plan: a self-join would
+    # show two parquet scans of documents
+    assert plan.count("Scan parquet") == 1, plan
+
+
 def test_cell_expr_is_native(spark, pages_df):
     """The Morton cell id must be pure Catalyst expressions (no
     BatchEvalPython / ArrowEvalPython nodes)."""
