@@ -81,15 +81,27 @@ _DECODED_FIELDS = [
 
 
 def decode_image(df: DataFrame, payload: str = "payload", key: str = "media_id") -> DataFrame:
-    """binary -> decoded uint8 HWC buffer. STUB decoder (see module
-    docstring); real decoders plug into the same mapInPandas shape."""
+    """binary -> decoded uint8 HWC buffer.
+
+    PNG payloads (signature-sniffed) take a GENUINE decode through the
+    pure-numpy codec in functions/png.py (zlib inflate + scanline
+    unfilter); other formats fall back to the documented deterministic
+    stub until their codecs exist in the container (PIL plugs into the
+    same mapInPandas shape when importable)."""
+    from rio_toa_spark.functions.png import PNG_SIGNATURE, decode_png
+
     schema = T.StructType([df.schema[key]] + _DECODED_FIELDS)
 
-    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    def _decode_one(p: bytes) -> np.ndarray:
+        if bytes(p[:8]) == PNG_SIGNATURE:
+            return decode_png(bytes(p))
         if _HAVE_PIL:  # pragma: no cover
             raise NotImplementedError("real decoder path: wire PIL here")
+        return _fake_decode(p)
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            decoded = [_fake_decode(p) for p in pdf[payload]]
+            decoded = [_decode_one(p) for p in pdf[payload]]
             yield pd.DataFrame(
                 {
                     key: pdf[key],
