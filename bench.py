@@ -175,7 +175,10 @@ def run_bench(cpus: int, sf_dir: str) -> dict:
         lambda it: it, "id long"
     ).write.format("noop").mode("overwrite").save()
 
-    runs = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "2"))
+    # BASELINE.md protocol: warm-up run discarded, median of 3 timed
+    # runs (this box is co-tenant; a single post-warmup sample was
+    # measured 3x off during interference bursts)
+    runs = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "4"))
     for name, (build, descr) in queries.items():
         samples = []
         for _ in range(max(runs, 1)):
