@@ -914,6 +914,37 @@ def _q_media_pipeline(spark, sf_dir):
     )
 
 
+def _q_zonal_dn_stats(spark, sf_dir):
+    # raster<->vector zonal aggregation: per-(zone, band) pixel stats
+    # with map-side partials (the pixel binary never shuffles); zones
+    # are inner boxes of the scene footprints. Rows-only (pixel
+    # payloads are not SQL-expressible); verified against a
+    # brute-force numpy oracle in tests/test_zonal.py.
+    from rio_toa_spark.operators.spatial_join import scene_footprints
+    from rio_toa_spark.operators.zonal import zonal_stats
+
+    paths = _fixture_paths()
+    tiles = spark.read.parquet(paths["tiles"])
+    scenes = spark.read.parquet(paths["scenes"])
+    fp = scene_footprints(scenes)
+    zones = fp.select(
+        F.col("scene_id").alias("zone_id"),
+        (F.col("fw") + 0.137 * (F.col("fe") - F.col("fw"))).alias("fw"),
+        (F.col("fs") + 0.211 * (F.col("fn") - F.col("fs"))).alias("fs"),
+        (F.col("fw") + 0.763 * (F.col("fe") - F.col("fw"))).alias("fe"),
+        (F.col("fs") + 0.829 * (F.col("fn") - F.col("fs"))).alias("fn"),
+    )
+    out = zonal_stats(tiles, zones)
+    return out.select(
+        "zone_id",
+        "band",
+        "px_count",
+        F.round("px_mean", 6).alias("px_mean"),
+        "px_min",
+        "px_max",
+    )
+
+
 def _q_media_png_decode(spark, sf_dir):
     # GENUINE image decode end to end: deterministic 16x16 RGB images
     # (seeded per media_id) are PNG-encoded executor-side, then decoded
@@ -1039,6 +1070,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "toa_reflectance_pixel_sun": _q_toa_reflectance_pixel_sun,
         "toa_brighttemp_tiles": _q_toa_brighttemp_tiles,
         "toa_rgb_stack": _q_toa_rgb_stack,
+        "zonal_dn_stats": _q_zonal_dn_stats,
         "ann_ivf": _q_ann_ivf,
         "media_pipeline": _q_media_pipeline,
         "media_png_decode": _q_media_png_decode,

@@ -139,6 +139,19 @@ def build_queries(spark, sf_dir):
             lambda: __import__("rio_toa_spark.operators.textstats", fromlist=["x"]).with_extracted_text(pages).select("url", "extracted_text"),
             {"rows": n_pages_eff},
         ),
+        "zonal_stats_scenes": (
+            lambda: __import__("rio_toa_spark.operators.zonal", fromlist=["x"]).zonal_stats(
+                tiles,
+                scene_footprints(scenes).selectExpr(
+                    "scene_id AS zone_id",
+                    "fw + 0.137 * (fe - fw) AS fw",
+                    "fs + 0.211 * (fn - fs) AS fs",
+                    "fw + 0.763 * (fe - fw) AS fe",
+                    "fs + 0.829 * (fn - fs) AS fn",
+                ),
+            ),
+            {},
+        ),
         "dedup_exact_docs": (lambda: exact_dedup(docs), {}),
         "minhash_lsh_docs": (lambda: ngram_jaccard_pairs(docs, threshold=0.5), {}),
         "cosine_topk": (lambda: cosine_topk(emb, q_emb, k=10), {}),

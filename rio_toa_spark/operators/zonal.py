@@ -1,0 +1,155 @@
+"""Zonal statistics — the raster↔vector aggregation surface of the
+graft layer (BASELINE.json north_rule "raster<->vector"; no reference
+counterpart — rio-toa's only whole-array reductions are the overflow
+checks at rio_toa/toa_utils.py:131-136).
+
+``zonal_stats(tiles, zones)`` computes per-(zone, band) count / mean /
+min / max over the pixels whose CENTERS fall inside the zone's WGS84
+box, nodata excluded.
+
+Scale design:
+
+* Candidate (tile, zone) pairs come from the same Morton-cell prune
+  pip_join uses: zones explode to covering cells (broadcast side),
+  tiles explode to THEIR covering cells, equi-join on cell. A pair
+  whose boxes share k cells would appear k times; instead of a
+  duplicate-elimination shuffle (which would move pixel payloads), a
+  pair is kept only in the ONE cell containing the SW corner of the
+  bbox intersection — that cell is in both covers by construction, so
+  each pair survives exactly once, join-local.
+* The pixel kernel is an Arrow-batched mapInPandas that emits
+  per-(tile, zone) PARTIALS (count, sum, min, max) — the map-side
+  combine. The final groupBy merges a few doubles per pair; the pixel
+  binary never crosses a shuffle.
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from rio_toa_spark.operators.spatial_join import (
+    DEFAULT_LEVEL,
+    _explode_cover,
+    cell_expr,
+)
+
+
+def _tile_cover_cells(tiles_df: DataFrame, level: int) -> DataFrame:
+    """Explode each tile row to its covering cells (bounds_* bbox)."""
+    renamed = tiles_df.select(
+        "*",
+        F.col("bounds_w").alias("fw"),
+        F.col("bounds_s").alias("fs"),
+        F.col("bounds_e").alias("fe"),
+        F.col("bounds_n").alias("fn"),
+    )
+    return _explode_cover(renamed, level).drop("fw", "fs", "fe", "fn")
+
+
+_PARTIAL_FIELDS = [
+    T.StructField("band", T.IntegerType()),
+    T.StructField("px_count", T.LongType()),
+    T.StructField("px_sum", T.DoubleType()),
+    T.StructField("px_min", T.DoubleType()),
+    T.StructField("px_max", T.DoubleType()),
+]
+
+
+def zonal_stats(
+    tiles_df: DataFrame,
+    zones_df: DataFrame,
+    zone_key: str = "zone_id",
+    level: int = DEFAULT_LEVEL,
+) -> DataFrame:
+    """Per-(zone, band) pixel statistics.
+
+    ``zones_df``: (zone_key, fw, fs, fe, fn) WGS84 boxes — dimension
+    sized (broadcast). ``tiles_df``: the engine tile shape (scene_id,
+    band, width, height, nodata, bounds_*, pixels uint16 LE).
+
+    A pixel belongs to a zone iff its center lies inside the zone box
+    (inclusive). Nodata pixels are excluded. Returns one row per
+    (zone, band) with px_count / px_mean / px_min / px_max; zones that
+    intersect no tile produce no row (inner semantics).
+    """
+    zcover = _explode_cover(zones_df, level)
+    tcover = _tile_cover_cells(tiles_df, level)
+
+    overlap = (
+        (F.col("bounds_w") <= F.col("fe"))
+        & (F.col("bounds_e") >= F.col("fw"))
+        & (F.col("bounds_s") <= F.col("fn"))
+        & (F.col("bounds_n") >= F.col("fs"))
+    )
+    # canonical cell of the intersection's SW corner: keeps each
+    # (tile, zone) pair exactly once without a dedup shuffle
+    canonical = F.col("cell") == cell_expr(
+        F.greatest(F.col("bounds_w"), F.col("fw")),
+        F.greatest(F.col("bounds_s"), F.col("fs")),
+        level,
+    )
+    joined = tcover.join(F.broadcast(zcover), "cell").where(overlap & canonical)
+
+    out_schema = T.StructType([zones_df.schema[zone_key]] + _PARTIAL_FIELDS)
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            zid, band, cnt, tot, mn, mx = [], [], [], [], [], []
+            for row in pdf.itertuples(index=False):
+                arr = np.frombuffer(row.pixels, dtype=np.uint16).reshape(
+                    row.height, row.width
+                )
+                dx = (row.bounds_e - row.bounds_w) / row.width
+                dy = (row.bounds_n - row.bounds_s) / row.height
+                # pixel-center coordinates; raster row 0 is the north edge
+                cx = row.bounds_w + (np.arange(row.width) + 0.5) * dx
+                cy = row.bounds_n - (np.arange(row.height) + 0.5) * dy
+                in_x = (cx >= row.fw) & (cx <= row.fe)
+                in_y = (cy >= row.fs) & (cy <= row.fn)
+                sub = arr[np.ix_(in_y, in_x)]
+                vals = sub[sub != row.nodata]
+                zid.append(getattr(row, zone_key))
+                band.append(row.band)
+                cnt.append(int(vals.size))
+                tot.append(float(vals.sum(dtype=np.float64)) if vals.size else 0.0)
+                mn.append(float(vals.min()) if vals.size else float("inf"))
+                mx.append(float(vals.max()) if vals.size else float("-inf"))
+            yield pd.DataFrame(
+                {
+                    zone_key: zid,
+                    "band": band,
+                    "px_count": cnt,
+                    "px_sum": tot,
+                    "px_min": mn,
+                    "px_max": mx,
+                }
+            )
+
+    extra_zone_cols = [
+        c for c in zones_df.columns if c not in (zone_key, "fw", "fs", "fe", "fn")
+    ]
+    partials = joined.drop("cell", *extra_zone_cols).mapInPandas(run, out_schema)
+    return (
+        partials.groupBy(zone_key, "band")
+        .agg(
+            F.sum("px_count").alias("px_count"),
+            F.sum("px_sum").alias("px_sum"),
+            F.min("px_min").alias("px_min"),
+            F.max("px_max").alias("px_max"),
+        )
+        .where(F.col("px_count") > 0)
+        .select(
+            zone_key,
+            "band",
+            "px_count",
+            (F.col("px_sum") / F.col("px_count")).alias("px_mean"),
+            "px_min",
+            "px_max",
+        )
+    )

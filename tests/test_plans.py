@@ -122,6 +122,19 @@ def test_lsh_candidates_single_pass_uncached(spark):
     assert plan.count("Scan parquet") == 1, plan
 
 
+def test_zonal_partials_single_shuffle(spark, tiles_df, scenes_df):
+    """Zonal stats: zones broadcast, pixel kernel map-side; the only
+    hash exchange carries the per-pair partial doubles."""
+    from rio_toa_spark.operators.zonal import zonal_stats
+
+    zones = sj.scene_footprints(scenes_df).select(
+        F.col("scene_id").alias("zone_id"), "fw", "fs", "fe", "fn"
+    )
+    plan = _plan(zonal_stats(tiles_df, zones))
+    assert "BroadcastHashJoin" in plan
+    assert plan.count("Exchange hashpartitioning") == 1, plan
+
+
 def test_cell_expr_is_native(spark, pages_df):
     """The Morton cell id must be pure Catalyst expressions (no
     BatchEvalPython / ArrowEvalPython nodes)."""
