@@ -736,6 +736,98 @@ SELECT DISTINCT o_custkey FROM orders WHERE o_orderpriority = '5-LOW'
 """
 
 
+def _q_semijoin_lines(spark, sf_dir):
+    # left-semi join (EXISTS): lineitems of urgent orders. Catalyst
+    # plans the IN-subquery and the semi join identically.
+    li = _t(spark, sf_dir, "lineitem")
+    urgent = (
+        _t(spark, sf_dir, "orders")
+        .where(F.col("o_orderpriority") == "1-URGENT")
+        .select("o_orderkey")
+    )
+    return li.join(
+        urgent, li.l_orderkey == urgent.o_orderkey, "left_semi"
+    ).select("l_orderkey", "l_linenumber")
+
+
+_SEMIJOIN_SQL = """
+SELECT l_orderkey, l_linenumber FROM lineitem
+WHERE l_orderkey IN (SELECT o_orderkey FROM orders WHERE o_orderpriority = '1-URGENT')
+"""
+
+
+def _q_antijoin_customers(spark, sf_dir):
+    # left-anti join (NOT EXISTS): customers that never placed an
+    # urgent order (every customer HAS orders at every sf, so the bare
+    # "never ordered" form would be a vacuous 0-row query)
+    c = _t(spark, sf_dir, "customer")
+    o = (
+        _t(spark, sf_dir, "orders")
+        .where(F.col("o_orderpriority") == "1-URGENT")
+        .select("o_custkey")
+    )
+    return c.join(o, c.c_custkey == o.o_custkey, "left_anti").select("c_custkey")
+
+
+_ANTIJOIN_SQL = """
+SELECT c_custkey FROM customer
+WHERE NOT EXISTS (
+  SELECT 1 FROM orders
+  WHERE o_custkey = c_custkey AND o_orderpriority = '1-URGENT'
+)
+"""
+
+
+def _q_date_buckets(spark, sf_dir):
+    # date-function surface: calendar bucketing + dayofyear filter
+    o = _t(spark, sf_dir, "orders")
+    return (
+        o.where(F.dayofweek("o_orderdate") != 1)
+        .groupBy(
+            F.year("o_orderdate").alias("yr"),
+            F.quarter("o_orderdate").alias("qtr"),
+        )
+        .agg(
+            F.count("*").alias("n"),
+            F.round(F.sum("o_totalprice"), 4).alias("total"),
+            F.min(F.to_date("o_orderdate").cast("string")).alias("first_day"),
+        )
+    )
+
+
+_DATE_SQL = """
+SELECT CAST(EXTRACT(YEAR FROM o_orderdate) AS INTEGER) AS yr,
+  CAST(EXTRACT(QUARTER FROM o_orderdate) AS INTEGER) AS qtr,
+  COUNT(*) AS n, round(SUM(o_totalprice), 4) AS total,
+  CAST(MIN(CAST(o_orderdate AS DATE)) AS VARCHAR) AS first_day
+FROM orders
+WHERE dayofweek(o_orderdate) + 1 != 1
+GROUP BY 1, 2
+"""
+
+
+def _q_string_funcs(spark, sf_dir):
+    # string-function surface: like / substring / upper / concat /
+    # length / trim / replace
+    c = _t(spark, sf_dir, "customer")
+    return c.where(F.col("c_name").like("%5%")).select(
+        "c_custkey",
+        F.upper(F.substring("c_name", 1, 8)).alias("pfx"),
+        F.length("c_name").cast("int").alias("nlen"),
+        F.concat_ws("-", "c_mktsegment", F.col("c_custkey").cast("string")).alias("tag"),
+        F.regexp_replace("c_name", "[0-9]", "#").alias("masked"),
+    )
+
+
+_STRING_SQL = """
+SELECT c_custkey, upper(substring(c_name, 1, 8)) AS pfx,
+  CAST(length(c_name) AS INTEGER) AS nlen,
+  c_mktsegment || '-' || CAST(c_custkey AS VARCHAR) AS tag,
+  regexp_replace(c_name, '[0-9]', '#', 'g') AS masked
+FROM customer WHERE c_name LIKE '%5%'
+"""
+
+
 def _q_sessionize(spark, sf_dir):
     # gap-based sessionization over the events stream shape (window
     # lag + running sum; streaming twin in operators/sessions.py)
@@ -1055,6 +1147,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cube_events": _q_cube_events,
         "topn_orders": _q_topn_orders,
         "setops_custkeys": _q_setops_custkeys,
+        "semijoin_lines": _q_semijoin_lines,
+        "antijoin_customers": _q_antijoin_customers,
+        "date_buckets": _q_date_buckets,
+        "string_funcs": _q_string_funcs,
         "media_describe": _q_media_describe,
         "sessionize": _q_sessionize,
         # fixture-parquet queries (DuckDB twins read the same files)
@@ -1125,6 +1221,10 @@ def oracle_sql() -> dict[str, str]:
         "cube_events": _CUBE_SQL,
         "topn_orders": _TOPN_SQL,
         "setops_custkeys": _SETOPS_SQL,
+        "semijoin_lines": _SEMIJOIN_SQL,
+        "antijoin_customers": _ANTIJOIN_SQL,
+        "date_buckets": _DATE_SQL,
+        "string_funcs": _STRING_SQL,
         "media_describe": _MEDIA_SQL,
         "sessionize": __import__("rio_toa_spark.operators.sessions", fromlist=["x"]).SESSIONIZE_ORACLE_SQL.format(gap_s=1800),
         # formerly rows-only, now exact-twinned
