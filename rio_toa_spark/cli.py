@@ -9,8 +9,9 @@ via ``spark-submit --py-files``.
     python -m rio_toa_spark.cli pipjoin    PAGES SCENES DST [--strategy broadcast]
 
 TILES/SCENES/PAGES are parquet paths (tables per sources/fixtures
-schemas); DST is a parquet output directory, written resumably via the
-manifest layer when --resume-dir is given.
+schemas); DST is a parquet output directory; with --resume it is written
+through the manifest checkpoint layer (idempotent chunk commits,
+anti-join resume; plans/manifest.py).
 """
 
 from __future__ import annotations
@@ -26,8 +27,22 @@ def _spark(args):
     return get_spark(app_name="rio_toa_spark_cli", master=args.master)
 
 
-def _write(df, dst, partition_cols=("scene_id", "band")):
+def _write(df, dst, partition_cols=("scene_id", "band"), args=None):
+    """Plain partitioned write, or — with --resume — a manifest-
+    checkpointed ResumableJob keyed on the first partition column
+    (idempotent dynamic-partition-overwrite chunks; see
+    plans/manifest.py)."""
     cols = [c for c in partition_cols if c in df.columns]
+    if args is not None and getattr(args, "resume", False) and cols:
+        from rio_toa_spark.plans.manifest import ResumableJob
+
+        lineage = {"cmd": args.cmd, "inputs": sorted(
+            v for k, v in vars(args).items() if k in ("tiles", "scenes", "pages") and v
+        )}
+        job = ResumableJob(dst, cols[0], lineage=lineage)
+        stats = job.run(df, chunk_partitions=getattr(args, "chunk_partitions", 0))
+        print(json.dumps(stats))
+        return
     writer = df.write.mode("overwrite")
     if cols:
         writer = writer.partitionBy(*cols)
@@ -46,7 +61,7 @@ def cmd_radiance(args):
         rescale_factor=args.rescale_factor,
         clip=not args.no_clip,
     )
-    _write(out, args.dst)
+    _write(out, args.dst, args=args)
 
 
 def cmd_reflectance(args):
@@ -78,7 +93,7 @@ def cmd_reflectance(args):
         clip=not args.no_clip,
         per_pixel_sun=args.pixel_sunangle,
     )
-    _write(out, args.dst)
+    _write(out, args.dst, args=args)
 
 
 def cmd_brighttemp(args):
@@ -92,7 +107,7 @@ def cmd_brighttemp(args):
         temp_scale=args.temp_scale,
         dst_dtype=args.dst_dtype,
     )
-    _write(out, args.dst)
+    _write(out, args.dst, args=args)
 
 
 def cmd_parsemtl(args):
@@ -115,7 +130,7 @@ def cmd_pipjoin(args):
         level=args.level,
         strategy=args.strategy,
     )
-    _write(out.select("url", "scene_id", "lon", "lat"), args.dst, ("scene_id",))
+    _write(out.select("url", "scene_id", "lon", "lat"), args.dst, ("scene_id",), args=args)
 
 
 def main(argv=None):
@@ -127,6 +142,10 @@ def main(argv=None):
         p.add_argument("tiles")
         p.add_argument("scenes")
         p.add_argument("dst")
+        p.add_argument("--resume", action="store_true",
+                       help="manifest-checkpointed write (resumable; plans/manifest.py)")
+        p.add_argument("--chunk-partitions", type=int, default=0,
+                       help="partition values per resumable chunk (0 = one chunk)")
         p.add_argument("--dst-dtype", default="float32", choices=["uint8", "uint16", "float32", "float64"])
         if not thermal:
             p.add_argument("--rescale-factor", "-r", type=float, default=None)
@@ -164,6 +183,8 @@ def main(argv=None):
     p.add_argument("pages")
     p.add_argument("scenes")
     p.add_argument("dst")
+    p.add_argument("--resume", action="store_true")
+    p.add_argument("--chunk-partitions", type=int, default=0)
     p.add_argument("--level", type=int, default=6)
     p.add_argument("--strategy", default="broadcast", choices=["broadcast", "salted", "index"])
     p.set_defaults(fn=cmd_pipjoin)

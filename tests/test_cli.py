@@ -128,6 +128,30 @@ def test_cli_pipjoin_salted(spark, fixture_paths, tmp_path):
     assert {"url", "scene_id", "lon", "lat"} <= set(table.column_names)
 
 
+def test_cli_radiance_resume(spark, fixture_paths, tmp_path, capsys):
+    """--resume: first run commits manifest chunks; an identical rerun
+    finds everything done and writes nothing."""
+    dst = str(tmp_path / "rad_resume")
+    argv = [
+        "radiance",
+        fixture_paths["tiles"],
+        fixture_paths["scenes"],
+        dst,
+        "--band", "5",
+        "--resume",
+        "--chunk-partitions", "2",
+    ]
+    cli.main(argv)
+    first = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert first["chunks_run"] == 2  # 4 scenes / 2 per chunk
+    assert _hive_rows(dst).num_rows == 16
+    cli.main(argv)
+    second = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert second["chunks_run"] == 0
+    assert second["previously_done"] == 4
+    assert _hive_rows(dst).num_rows == 16
+
+
 def test_cli_rejects_unknown_subcommand():
     with pytest.raises(SystemExit):
         cli.main(["frobnicate"])
