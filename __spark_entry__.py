@@ -269,6 +269,27 @@ def _q_cell_assign(spark, sf_dir):
     return with_cell(_doc_points(spark, sf_dir), level=8).select("doc_id", "cell")
 
 
+def _q_cell_rollup(spark, sf_dir):
+    # hierarchical cell rollup: level-8 point cells aggregated to
+    # their level-6 ancestors (Morton parent = cell >> 4) — the S2-ish
+    # prefix property, all native SQL
+    from rio_toa_spark.operators.spatial_join import cell_parent_expr, with_cell
+
+    pts = with_cell(_doc_points(spark, sf_dir), level=8)
+    return (
+        pts.withColumn("parent", cell_parent_expr(F.col("cell"), levels=2))
+        .groupBy("parent")
+        .agg(F.count("*").alias("n_docs"), F.countDistinct("cell").alias("n_child_cells"))
+    )
+
+
+_CELL_ROLLUP_SQL = (
+    "SELECT cell // 16 AS parent, COUNT(*) AS n_docs, "
+    "COUNT(DISTINCT cell) AS n_child_cells FROM ("
+    "SELECT doc_id, %s AS cell FROM (%s)) GROUP BY 1"
+)
+
+
 def _q_dedup_exact(spark, sf_dir):
     from rio_toa_spark.operators.dedup import exact_dedup
 
@@ -553,6 +574,44 @@ SELECT doc_id,
     ELSE 0.0 END, 9) AS stopword_ratio
 FROM (SELECT doc_id, text, regexp_extract_all(lower(text), '[A-Za-z0-9]+') AS __toks2 FROM documents)
 """ % stop
+
+
+def _q_corpus_filter_dedup(spark, sf_dir):
+    # end-to-end training-corpus preparation: quality gates (token
+    # count + stopword ratio) -> exact dedup of the survivors —
+    # composed entirely from oracle-proven primitives, with the full
+    # pipeline twinned in one SQL statement.
+    from rio_toa_spark.operators.dedup import exact_dedup
+    from rio_toa_spark.operators.textstats import quality_features
+
+    d = _t(spark, sf_dir, "documents")
+    kept = (
+        quality_features(d)
+        .where((F.col("n_tokens") >= 30) & (F.col("stopword_ratio") >= 0.02))
+        .select("doc_id", "text")
+    )
+    return exact_dedup(kept).select("doc_id", "dup_count")
+
+
+def _corpus_filter_sql() -> str:
+    from rio_toa_spark.operators.textstats import LANG_PROFILES
+
+    stop = ", ".join("'%s'" % w for w in LANG_PROFILES["en"])
+    return r"""
+WITH toks AS (
+  SELECT doc_id, text, regexp_extract_all(lower(text), '[A-Za-z0-9]+') AS tt
+  FROM documents
+), kept AS (
+  SELECT doc_id, text FROM toks
+  WHERE len(tt) >= 30
+    AND (CASE WHEN len(tt) > 0 THEN
+         CAST(len(list_filter(tt, t -> list_contains([%s], t))) AS DOUBLE) / len(tt)
+         ELSE 0.0 END) >= 0.02
+)
+SELECT MIN(doc_id) AS doc_id, COUNT(*) AS dup_count FROM (
+  SELECT doc_id, %s AS h FROM kept
+) GROUP BY h
+""" % (stop, _H60 % r"regexp_replace(trim(lower(text)), '\s+', ' ', 'g')")
 
 
 def _q_cosine_topk(spark, sf_dir):
@@ -1128,6 +1187,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "knn_broadcast": _q_knn,
         "knn_cells": _q_knn_cells,
         "cell_assign": _q_cell_assign,
+        "cell_rollup": _q_cell_rollup,
         # dedup / text / similarity
         "dedup_exact": _q_dedup_exact,
         "minhash": _q_minhash,
@@ -1137,6 +1197,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lang_scores": _q_lang_scores,
         "fingerprint": _q_fingerprint,
         "quality": _q_quality,
+        "corpus_filter_dedup": _q_corpus_filter_dedup,
         "cosine_topk": _q_cosine_topk,
         # relational coverage
         "agg_pricing": _q_agg_pricing,
@@ -1204,6 +1265,7 @@ def oracle_sql() -> dict[str, str]:
         "cell_assign": (
             "SELECT doc_id, %s AS cell FROM (%s)" % (_duck_cell("lon", "lat", 8), _DOC_POINTS_SQL)
         ),
+        "cell_rollup": _CELL_ROLLUP_SQL % (_duck_cell("lon", "lat", 8), _DOC_POINTS_SQL),
         "dedup_exact": _DEDUP_SQL,
         "minhash": _MINHASH_SQL,
         "jaccard_pairs": _JACCARD_SQL,
@@ -1212,6 +1274,7 @@ def oracle_sql() -> dict[str, str]:
         "lang_scores": _lang_sql(),
         "fingerprint": _FP_SQL,
         "quality": _quality_sql(),
+        "corpus_filter_dedup": _corpus_filter_sql(),
         "cosine_topk": _COSINE_SQL,
         "agg_pricing": _AGG_SQL,
         "join_revenue": _REVENUE_SQL,

@@ -80,6 +80,12 @@ def with_cell(df: DataFrame, lon: str = "lon", lat: str = "lat", level: int = DE
     return df.withColumn(out, cell_expr(F.col(lon), F.col(lat), level))
 
 
+def cell_parent_expr(cell: Column, levels: int = 1) -> Column:
+    """Native-SQL ancestor cell id: Morton parents are bit shifts
+    (cells.cell_parent), so hierarchy rollups stay inside Catalyst."""
+    return F.shiftright(cell, 2 * levels)
+
+
 # ----------------------------------------------------------- footprints
 
 

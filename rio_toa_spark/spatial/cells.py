@@ -97,6 +97,20 @@ def ring_cells(cell: int, radius: int, level: int = DEFAULT_LEVEL) -> np.ndarray
     return morton_encode(gx.ravel(), gy.ravel())
 
 
+def cell_parent(cell, levels: int = 1) -> np.ndarray:
+    """Ancestor cell id ``levels`` up the hierarchy. Morton interleave
+    commutes with per-axis shifts, so the level-(L-k) parent of a
+    level-L cell is simply ``cell >> 2k`` — the same property S2 uses
+    for prefix-range containment queries."""
+    return np.asarray(cell, dtype=np.int64) >> np.int64(2 * levels)
+
+
+def cell_children(cell: int) -> np.ndarray:
+    """The four level-(L+1) children of a level-L cell."""
+    base = np.int64(cell) << np.int64(2)
+    return base + np.arange(4, dtype=np.int64)
+
+
 def cell_bounds(cell: int, level: int = DEFAULT_LEVEL) -> tuple[float, float, float, float]:
     """(w, s, e, n) bounds of a cell."""
     n = 1 << level

@@ -174,3 +174,47 @@ def test_repartition_by_cell_ranges(spark, pages_df):
     out = sj.repartition_by_cell(pages_df, num_partitions=4, level=LEVEL)
     assert out.rdd.getNumPartitions() <= 4
     assert out.count() == pages_df.count()
+
+
+def test_cell_hierarchy_parent_commutes(spark):
+    """Morton parent (>> 2k) must equal re-encoding the point at the
+    coarser level — the prefix property hierarchy rollups rely on."""
+    import numpy as np
+
+    from rio_toa_spark.spatial import cells as cm
+
+    rng = np.random.default_rng(5)
+    lon = rng.uniform(-180, 180, 2000)
+    lat = rng.uniform(-90, 90, 2000)
+    c8 = cm.cell_of_points(lon, lat, 8)
+    for k in (1, 2, 3):
+        assert np.array_equal(cm.cell_parent(c8, k), cm.cell_of_points(lon, lat, 8 - k))
+
+
+def test_cell_children_roundtrip():
+    import numpy as np
+
+    from rio_toa_spark.spatial import cells as cm
+
+    for cell in (0, 5, 1234, (1 << 12) - 1):
+        kids = cm.cell_children(cell)
+        assert len(kids) == 4 and len(set(kids.tolist())) == 4
+        assert np.array_equal(cm.cell_parent(kids), np.full(4, cell))
+
+
+def test_cell_parent_expr_matches_numpy(spark):
+    import numpy as np
+
+    from rio_toa_spark.operators import spatial_join as sj
+    from rio_toa_spark.spatial import cells as cm
+
+    rng = np.random.default_rng(6)
+    rows = [(float(a), float(b)) for a, b in zip(rng.uniform(-180, 180, 300), rng.uniform(-90, 90, 300))]
+    df = spark.createDataFrame(rows, "lon double, lat double")
+    got = (
+        sj.with_cell(df, level=8)
+        .select(sj.cell_parent_expr(__import__("pyspark.sql.functions", fromlist=["x"]).col("cell"), 2).alias("p"))
+        .collect()
+    )
+    exp = cm.cell_parent(cm.cell_of_points([r[0] for r in rows], [r[1] for r in rows], 8), 2)
+    assert [r.p for r in got] == exp.tolist()
