@@ -895,6 +895,60 @@ def _q_sessionize(spark, sf_dir):
     return sessionize(_t(spark, sf_dir, "events"), gap_minutes=30)
 
 
+def _q_funnel_events(spark, sf_dir):
+    # ordered-funnel analytics: per user, how deep into
+    # view -> click -> purchase did they get (each stage strictly
+    # after the previous one)? Three conditional-min aggregations,
+    # each shuffling only (user_id, ts) pairs.
+    e = _t(spark, sf_dir, "events").select("user_id", "event_type", "ts")
+    v = (
+        e.where(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t_view"))
+    )
+    c = (
+        e.where(F.col("event_type") == "click")
+        .join(v, "user_id")
+        .where(F.col("ts") > F.col("t_view"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t_click"))
+    )
+    p = (
+        e.where(F.col("event_type") == "purchase")
+        .join(c, "user_id")
+        .where(F.col("ts") > F.col("t_click"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t_purchase"))
+    )
+    stage = (
+        F.lit(1)
+        + F.when(F.col("t_click").isNotNull(), 1).otherwise(0)
+        + F.when(F.col("t_purchase").isNotNull(), 1).otherwise(0)
+    )
+    return (
+        v.join(c, "user_id", "left")
+        .join(p, "user_id", "left")
+        .select("user_id", stage.cast("int").alias("funnel_stage"))
+    )
+
+
+_FUNNEL_SQL = """
+WITH v AS (
+  SELECT user_id, MIN(ts) AS t_view FROM events WHERE event_type = 'view' GROUP BY user_id
+), c AS (
+  SELECT e.user_id, MIN(e.ts) AS t_click FROM events e JOIN v ON e.user_id = v.user_id
+  WHERE e.event_type = 'click' AND e.ts > v.t_view GROUP BY e.user_id
+), p AS (
+  SELECT e.user_id, MIN(e.ts) AS t_purchase FROM events e JOIN c ON e.user_id = c.user_id
+  WHERE e.event_type = 'purchase' AND e.ts > c.t_click GROUP BY e.user_id
+)
+SELECT v.user_id,
+  CAST(1 + (CASE WHEN c.t_click IS NOT NULL THEN 1 ELSE 0 END)
+         + (CASE WHEN p.t_purchase IS NOT NULL THEN 1 ELSE 0 END) AS INTEGER) AS funnel_stage
+FROM v LEFT JOIN c ON v.user_id = c.user_id LEFT JOIN p ON v.user_id = p.user_id
+"""
+
+
 def _q_media_describe(spark, sf_dir):
     # multimodal metadata over binary payloads (documents.text encoded)
     from rio_toa_spark.operators.multimodal import describe_media
@@ -1096,6 +1150,17 @@ def _q_zonal_dn_stats(spark, sf_dir):
     )
 
 
+def _q_dn_histogram(spark, sf_dir):
+    # per-(scene, band) DN histogram, nodata excluded: Arrow-kernel
+    # bincount partials + tiny groupBy merge (pixel binary never
+    # shuffles). Rows-only; brute-force-verified in tests/test_zonal.py.
+    from rio_toa_spark.operators.zonal import dn_histogram
+
+    paths = _fixture_paths()
+    tiles = spark.read.parquet(paths["tiles"])
+    return dn_histogram(tiles, n_buckets=16)
+
+
 def _q_media_png_decode(spark, sf_dir):
     # GENUINE image decode end to end: deterministic 16x16 RGB images
     # (seeded per media_id) are PNG-encoded executor-side, then decoded
@@ -1214,6 +1279,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "string_funcs": _q_string_funcs,
         "media_describe": _q_media_describe,
         "sessionize": _q_sessionize,
+        "funnel_events": _q_funnel_events,
         # fixture-parquet queries (DuckDB twins read the same files)
         "pages_extract_text": _q_pages_extract_text,
         "pages_pip_tiles": _q_pages_pip_tiles,
@@ -1228,6 +1294,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "toa_brighttemp_tiles": _q_toa_brighttemp_tiles,
         "toa_rgb_stack": _q_toa_rgb_stack,
         "zonal_dn_stats": _q_zonal_dn_stats,
+        "dn_histogram": _q_dn_histogram,
         "ann_ivf": _q_ann_ivf,
         "media_pipeline": _q_media_pipeline,
         "media_png_decode": _q_media_png_decode,
@@ -1288,6 +1355,7 @@ def oracle_sql() -> dict[str, str]:
         "antijoin_customers": _ANTIJOIN_SQL,
         "date_buckets": _DATE_SQL,
         "string_funcs": _STRING_SQL,
+        "funnel_events": _FUNNEL_SQL,
         "media_describe": _MEDIA_SQL,
         "sessionize": __import__("rio_toa_spark.operators.sessions", fromlist=["x"]).SESSIONIZE_ORACLE_SQL.format(gap_s=1800),
         # formerly rows-only, now exact-twinned

@@ -61,6 +61,56 @@ _PARTIAL_FIELDS = [
 ]
 
 
+def dn_histogram(
+    tiles_df: DataFrame,
+    n_buckets: int = 16,
+    include_nodata: bool = False,
+) -> DataFrame:
+    """Per-(scene, band) histogram of uint16 DN values over
+    ``n_buckets`` equal-width buckets of [0, 65536).
+
+    Same partial-aggregation shape as zonal_stats: the Arrow kernel
+    bincounts each tile locally (one pass, O(pixels)), and only the
+    (scene, band, bucket, n) partials shuffle. ``n_buckets`` must be a
+    power of two so bucketing is a shift.
+    """
+    if n_buckets & (n_buckets - 1):
+        raise ValueError("n_buckets must be a power of two, got %d" % n_buckets)
+    shift = 16 - int(np.log2(n_buckets))
+
+    schema = T.StructType(
+        [
+            tiles_df.schema["scene_id"],
+            tiles_df.schema["band"],
+            T.StructField("bucket", T.IntegerType()),
+            T.StructField("n", T.LongType()),
+        ]
+    )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            sid, band, bucket, n = [], [], [], []
+            for row in pdf.itertuples(index=False):
+                arr = np.frombuffer(row.pixels, dtype=np.uint16)
+                if not include_nodata:
+                    arr = arr[arr != row.nodata]
+                counts = np.bincount(arr >> shift, minlength=n_buckets)
+                nz = np.nonzero(counts)[0]
+                sid.extend([row.scene_id] * len(nz))
+                band.extend([row.band] * len(nz))
+                bucket.extend(nz.tolist())
+                n.extend(counts[nz].tolist())
+            yield pd.DataFrame(
+                {"scene_id": sid, "band": band, "bucket": bucket, "n": n}
+            )
+
+    return (
+        tiles_df.mapInPandas(run, schema)
+        .groupBy("scene_id", "band", "bucket")
+        .agg(F.sum("n").alias("n"))
+    )
+
+
 def zonal_stats(
     tiles_df: DataFrame,
     zones_df: DataFrame,

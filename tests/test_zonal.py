@@ -91,3 +91,41 @@ def test_zonal_full_scene_zone_counts_all_valid_pixels(spark, tiles_df, scenes_d
         arr = np.frombuffer(t.pixels, np.uint16)
         exp[t.band] = exp.get(t.band, 0) + int((arr != t.nodata).sum())
     assert got == exp
+
+
+def test_dn_histogram_matches_bincount(spark, tiles_df):
+    from rio_toa_spark.operators.zonal import dn_histogram
+
+    got = {
+        (r.scene_id, r.band, r.bucket): r.n
+        for r in dn_histogram(tiles_df, n_buckets=16).collect()
+    }
+    exp = {}
+    for t in tiles_df.collect():
+        arr = np.frombuffer(t.pixels, np.uint16)
+        arr = arr[arr != t.nodata]
+        for b, n in enumerate(np.bincount(arr >> 12, minlength=16)):
+            if n:
+                key = (t.scene_id, t.band, b)
+                exp[key] = exp.get(key, 0) + int(n)
+    assert got == exp
+
+
+def test_dn_histogram_conserves_pixels(spark, tiles_df):
+    from rio_toa_spark.operators.zonal import dn_histogram
+    from pyspark.sql import functions as F2
+
+    total = (
+        dn_histogram(tiles_df, n_buckets=4, include_nodata=True)
+        .agg(F2.sum("n"))
+        .collect()[0][0]
+    )
+    t0 = tiles_df.select("width", "height").collect()
+    assert total == sum(r.width * r.height for r in t0)
+
+
+def test_dn_histogram_rejects_non_power_of_two(spark, tiles_df):
+    from rio_toa_spark.operators.zonal import dn_histogram
+
+    with pytest.raises(ValueError):
+        dn_histogram(tiles_df, n_buckets=10)
