@@ -576,6 +576,27 @@ FROM (SELECT doc_id, text, regexp_extract_all(lower(text), '[A-Za-z0-9]+') AS __
 """ % stop
 
 
+def _q_top_terms(spark, sf_dir):
+    # generator/UDTF surface: explode the token arrays (lateral view)
+    # and count global term frequencies, deterministic top-50
+    d = _t(spark, sf_dir, "documents")
+    toks = F.regexp_extract_all(F.lower(F.col("text")), F.lit(r"([A-Za-z0-9]+)"))
+    return (
+        d.select(F.explode(toks).alias("token"))
+        .groupBy("token")
+        .agg(F.count("*").alias("n"))
+        .orderBy(F.col("n").desc(), F.col("token").asc())
+        .limit(50)
+    )
+
+
+_TOP_TERMS_SQL = """
+SELECT token, COUNT(*) AS n FROM (
+  SELECT unnest(regexp_extract_all(lower(text), '[A-Za-z0-9]+')) AS token FROM documents
+) GROUP BY token ORDER BY n DESC, token ASC LIMIT 50
+"""
+
+
 def _q_corpus_filter_dedup(spark, sf_dir):
     # end-to-end training-corpus preparation: quality gates (token
     # count + stopword ratio) -> exact dedup of the survivors —
@@ -691,6 +712,44 @@ SELECT n_name, round(SUM(o_totalprice), 4) AS revenue, COUNT(*) AS n_orders
 FROM orders JOIN customer ON o_custkey = c_custkey
 JOIN nation ON c_nationkey = n_nationkey
 GROUP BY n_name
+"""
+
+
+def _q_region_revenue(spark, sf_dir):
+    # TPC-H Q5-flavored 5-way join: lineitem facts against a broadcast
+    # dimension chain region <- nation <- customer <- orders. The fact
+    # side shuffles once (on l_orderkey for the orders join); all
+    # dimension joins broadcast.
+    r = _t(spark, sf_dir, "region")
+    n = _t(spark, sf_dir, "nation")
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    dims = (
+        c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .select("c_custkey", "r_name")
+    )
+    return (
+        li.join(o.select("o_orderkey", "o_custkey"), li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(dims), F.col("o_custkey") == dims.c_custkey)
+        .groupBy("r_name")
+        .agg(
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4).alias("revenue"),
+            F.count("*").alias("n_lines"),
+        )
+    )
+
+
+_REGION_REVENUE_SQL = """
+SELECT r_name, round(SUM(l_extendedprice * (1 - l_discount)), 4) AS revenue,
+  COUNT(*) AS n_lines
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation ON c_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+GROUP BY r_name
 """
 
 
@@ -1263,10 +1322,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fingerprint": _q_fingerprint,
         "quality": _q_quality,
         "corpus_filter_dedup": _q_corpus_filter_dedup,
+        "top_terms": _q_top_terms,
         "cosine_topk": _q_cosine_topk,
         # relational coverage
         "agg_pricing": _q_agg_pricing,
         "join_revenue": _q_join_revenue,
+        "region_revenue": _q_region_revenue,
         "window_top_orders": _q_window_top_orders,
         "events_rollup": _q_events_rollup,
         "rollup_orders": _q_rollup_orders,
@@ -1342,9 +1403,11 @@ def oracle_sql() -> dict[str, str]:
         "fingerprint": _FP_SQL,
         "quality": _quality_sql(),
         "corpus_filter_dedup": _corpus_filter_sql(),
+        "top_terms": _TOP_TERMS_SQL,
         "cosine_topk": _COSINE_SQL,
         "agg_pricing": _AGG_SQL,
         "join_revenue": _REVENUE_SQL,
+        "region_revenue": _REGION_REVENUE_SQL,
         "window_top_orders": _WINDOW_SQL,
         "events_rollup": _EVENTS_SQL,
         "rollup_orders": _ROLLUP_SQL,
