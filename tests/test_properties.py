@@ -1,0 +1,106 @@
+"""Property-based invariants (hypothesis) for the pure kernels —
+no Spark session needed, so these run in milliseconds and explore
+inputs the example-based tests never pick.
+
+* Morton encode/decode roundtrip + monotone locality of parents
+* TOA kernel algebra: radiance linearity, reflectance clip bounds,
+  brightness-temp monotonicity, rescale range safety
+* PNG codec roundtrip on arbitrary shapes/channels
+"""
+
+import numpy as np
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from rio_toa_spark.functions import kernels
+from rio_toa_spark.functions.png import decode_png, encode_png
+from rio_toa_spark.spatial import cells as cm
+
+_finite = dict(allow_nan=False, allow_infinity=False)
+
+
+@given(
+    st.lists(st.integers(0, (1 << 16) - 1), min_size=1, max_size=64),
+    st.lists(st.integers(0, (1 << 16) - 1), min_size=1, max_size=64),
+)
+def test_morton_roundtrip(xs, ys):
+    n = min(len(xs), len(ys))
+    x = np.asarray(xs[:n], dtype=np.int64)
+    y = np.asarray(ys[:n], dtype=np.int64)
+    code = cm.morton_encode(x, y)
+    rx, ry = cm.morton_decode(code)
+    assert np.array_equal(rx, x) and np.array_equal(ry, y)
+
+
+@given(
+    st.floats(-180, 180, **_finite),
+    st.floats(-90, 90, **_finite),
+    st.integers(1, 12),
+    st.integers(1, 3),
+)
+def test_cell_parent_contains_point(lon, lat, level, k):
+    """A point's coarse cell must equal the Morton parent of its fine
+    cell whenever both levels are valid."""
+    if level - k < 0:
+        return
+    fine = cm.cell_of_points([lon], [lat], level)
+    coarse = cm.cell_of_points([lon], [lat], level - k)
+    assert cm.cell_parent(fine, k)[0] == coarse[0]
+
+
+@given(
+    st.lists(st.integers(0, 65535), min_size=1, max_size=128),
+    st.floats(1e-6, 1e-2, **_finite),
+    st.floats(-100, 100, **_finite),
+)
+def test_radiance_linear_in_dn(dns, ml, al):
+    img = np.asarray(dns, dtype=np.uint16)
+    out = kernels.radiance(img, ml, al, src_nodata=None)
+    exp = (np.float32(ml) * img.astype(np.float32)) + np.float32(al)
+    assert np.array_equal(out, exp.astype(np.float32))
+
+
+@given(
+    st.lists(st.integers(1, 65535), min_size=1, max_size=128),
+    st.floats(1e-6, 1e-4, **_finite),
+    st.floats(-0.2, 0.2, **_finite),
+    st.floats(1.0, 89.0, **_finite),
+)
+def test_reflectance_clipped_to_unit_interval_after_rescale(dns, mr, ar, e):
+    img = np.asarray(dns, dtype=np.uint16)
+    refl = kernels.reflectance(img, mr, ar, e, src_nodata=0)
+    out = kernels.rescale(refl, 1.0, "float32", clip=True)
+    assert np.all(out >= 0.0) and np.all(out <= 1.0)
+
+
+@given(st.lists(st.integers(1, 65535), min_size=2, max_size=64))
+def test_brightness_temp_monotone_in_dn(dns):
+    """For positive radiance coefficients, hotter DN -> hotter K."""
+    img = np.sort(np.asarray(dns, dtype=np.uint16))
+    t = kernels.brightness_temp(img, 3.3420e-04, 0.1, 774.8853, 1321.0789, src_nodata=None)
+    assert np.all(np.diff(t) >= 0)
+
+
+@given(
+    st.lists(st.floats(0.0, 1.0, width=32, **_finite), min_size=1, max_size=64),
+    st.sampled_from(["uint8", "uint16"]),
+)
+def test_rescale_clip_respects_dtype_range(vals, dtype):
+    arr = np.asarray(vals, dtype=np.float32)
+    factor = float(np.iinfo(np.dtype(dtype)).max)
+    out = kernels.rescale(arr, factor, dtype, clip=True)
+    info = np.iinfo(np.dtype(dtype))
+    assert out.dtype == np.dtype(dtype)
+    assert out.min() >= info.min and out.max() <= info.max
+
+
+@settings(deadline=None, max_examples=25)
+@given(
+    st.integers(1, 20),
+    st.integers(1, 20),
+    st.integers(1, 4),
+    st.integers(0, 2**32 - 1),
+)
+def test_png_roundtrip_random_shapes(h, w, c, seed):
+    arr = np.random.default_rng(seed).integers(0, 256, size=(h, w, c), dtype=np.uint8)
+    assert np.array_equal(decode_png(encode_png(arr)), arr)
