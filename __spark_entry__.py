@@ -531,6 +531,43 @@ def _lang_sql() -> str:
     )
 
 
+def _q_lang_detect(spark, sf_dir):
+    # argmax language pick over the stopword-hit scores; Spark's
+    # array_max-on-struct tie-break (largest lang name wins on equal
+    # scores) is mirrored by the oracle's CASE order
+    from rio_toa_spark.operators.textstats import detect_language
+
+    d = _t(spark, sf_dir, "documents")
+    return detect_language(d).select("doc_id", "lang_pred")
+
+
+def _lang_detect_sql() -> str:
+    from rio_toa_spark.operators.textstats import LANG_PROFILES
+
+    def score(lang):
+        vocab = ", ".join("'%s'" % w for w in LANG_PROFILES[lang])
+        return (
+            "CAST(len(list_filter(__toks2, t -> list_contains([%s], t))) AS DOUBLE)"
+            " / GREATEST(len(__toks2), 1)" % vocab
+        )
+
+    # largest-name-wins tie-break: test langs in descending name order
+    langs_desc = sorted(LANG_PROFILES, reverse=True)
+    cases = []
+    for i, lang in enumerate(langs_desc[:-1]):
+        others = langs_desc[i + 1 :]
+        cond = " AND ".join("s_%s >= s_%s" % (lang, o) for o in others)
+        cases.append("WHEN %s THEN '%s'" % (cond, lang))
+    case = "CASE %s ELSE '%s' END" % (" ".join(cases), langs_desc[-1])
+    scores = ", ".join("%s AS s_%s" % (score(lang), lang) for lang in langs_desc)
+    return (
+        "SELECT doc_id, %s AS lang_pred FROM ("
+        "SELECT doc_id, %s FROM ("
+        "SELECT doc_id, regexp_extract_all(lower(text), '[A-Za-z0-9]+') AS __toks2 "
+        "FROM documents))" % (case, scores)
+    )
+
+
 def _q_fingerprint(spark, sf_dir):
     from rio_toa_spark.operators.textstats import doc_fingerprint
 
@@ -1178,6 +1215,61 @@ def _q_media_pipeline(spark, sf_dir):
     )
 
 
+def _q_media_frames(spark, sf_dir):
+    # UDTF-style row expansion: n sampled frames per media payload
+    # (stub frame decoder — no video codecs in the container); pixel
+    # md5 proves per-frame determinism
+    from rio_toa_spark.operators.multimodal import sample_video_frames
+
+    d = _t(spark, sf_dir, "documents").select(
+        F.col("doc_id").alias("media_id"), F.encode(F.col("text"), "utf-8").alias("payload")
+    ).limit(32)
+    frames = sample_video_frames(d, n_frames=4)
+    return frames.select(
+        "media_id",
+        "frame_idx",
+        F.conv(F.substring(F.md5(F.col("pixels")), 1, 15), 16, 10)
+        .cast("long")
+        .alias("pixels_hash"),
+    )
+
+
+def _q_media_thumbnail(spark, sf_dir):
+    # decode (real PNG) -> nearest-neighbor resize to 8x8 thumbnails
+    import numpy as np
+    import pandas as pd
+
+    from rio_toa_spark.operators.multimodal import decode_image, resize_image
+
+    d = _t(spark, sf_dir, "documents").select(F.col("doc_id").alias("media_id")).limit(32)
+
+    def enc(batches):
+        from rio_toa_spark.functions.png import encode_png
+
+        for pdf in batches:
+            payloads = [
+                encode_png(
+                    np.random.default_rng(int(mid) + 17).integers(
+                        0, 256, size=(24, 24, 3), dtype=np.uint8
+                    )
+                )
+                for mid in pdf["media_id"]
+            ]
+            yield pd.DataFrame({"media_id": pdf["media_id"], "payload": payloads})
+
+    pngs = d.mapInPandas(enc, "media_id long, payload binary")
+    small = resize_image(decode_image(pngs), out_h=8, out_w=8)
+    return small.select(
+        "media_id",
+        "height",
+        "width",
+        "channels",
+        F.conv(F.substring(F.md5(F.col("pixels")), 1, 15), 16, 10)
+        .cast("long")
+        .alias("pixels_hash"),
+    )
+
+
 def _q_zonal_dn_stats(spark, sf_dir):
     # raster<->vector zonal aggregation: per-(zone, band) pixel stats
     # with map-side partials (the pixel binary never shuffles); zones
@@ -1319,6 +1411,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash": _q_simhash,
         "token_stats": _q_token_stats,
         "lang_scores": _q_lang_scores,
+        "lang_detect": _q_lang_detect,
         "fingerprint": _q_fingerprint,
         "quality": _q_quality,
         "corpus_filter_dedup": _q_corpus_filter_dedup,
@@ -1359,6 +1452,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_ivf": _q_ann_ivf,
         "media_pipeline": _q_media_pipeline,
         "media_png_decode": _q_media_png_decode,
+        "media_frames": _q_media_frames,
+        "media_thumbnail": _q_media_thumbnail,
     }
 
 
@@ -1400,6 +1495,7 @@ def oracle_sql() -> dict[str, str]:
         "simhash": _simhash_sql(),
         "token_stats": _TOKEN_SQL,
         "lang_scores": _lang_sql(),
+        "lang_detect": _lang_detect_sql(),
         "fingerprint": _FP_SQL,
         "quality": _quality_sql(),
         "corpus_filter_dedup": _corpus_filter_sql(),
