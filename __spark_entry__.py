@@ -1301,6 +1301,45 @@ def _q_zonal_dn_stats(spark, sf_dir):
     )
 
 
+def _q_scene_mosaic(spark, sf_dir):
+    # sink-side raster assembly: tile grid -> one full-scene raster
+    # per (scene, band), the engine's single-output-file story
+    # (reference radiance.py:108-111); verified vs independent
+    # vstack/hstack assembly in tests/test_mosaic.py
+    from rio_toa_spark.operators import toa
+
+    paths = _fixture_paths()
+    tiles = spark.read.parquet(paths["tiles"])
+    out = toa.mosaic_scene(tiles.where(F.col("band") == 5))
+    return out.select(
+        "scene_id",
+        "band",
+        "height",
+        "width",
+        F.conv(F.substring(F.md5(F.col("pixels")), 1, 15), 16, 10)
+        .cast("long")
+        .alias("pixels_hash"),
+    )
+
+
+def _q_resume_metrics(spark, sf_dir):
+    # the queryable lineage/metrics table of a manifest-checkpointed
+    # job (north rule: "per-partition lineage + metrics"): a tiny
+    # radiance job runs once (idempotent; reruns find all partitions
+    # committed), then its manifest is surfaced as a DataFrame.
+    # Deterministic projection only (chunk ids / wall times vary).
+    from rio_toa_spark.operators import toa
+    from rio_toa_spark.plans.manifest import ResumableJob
+
+    paths = _fixture_paths()
+    tiles = spark.read.parquet(paths["tiles"])
+    scenes = spark.read.parquet(paths["scenes"])
+    out_dir = os.path.join(_REPO, ".fixtures", "entry_resume")
+    job = ResumableJob(out_dir, "scene_id", lineage={"q": "resume_metrics", "v": 1})
+    job.run(toa.radiance_tiles(tiles, scenes, band=5), chunk_partitions=2)
+    return job.metrics(spark).select("partition", "rows").orderBy("partition")
+
+
 def _q_dn_histogram(spark, sf_dir):
     # per-(scene, band) DN histogram, nodata excluded: Arrow-kernel
     # bincount partials + tiny groupBy merge (pixel binary never
@@ -1449,6 +1488,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "toa_rgb_stack": _q_toa_rgb_stack,
         "zonal_dn_stats": _q_zonal_dn_stats,
         "dn_histogram": _q_dn_histogram,
+        "scene_mosaic": _q_scene_mosaic,
+        "resume_metrics": _q_resume_metrics,
         "ann_ivf": _q_ann_ivf,
         "media_pipeline": _q_media_pipeline,
         "media_png_decode": _q_media_png_decode,

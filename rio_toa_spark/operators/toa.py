@@ -327,3 +327,62 @@ def tile_stats(toa_df: DataFrame) -> DataFrame:
             )
 
     return toa_df.mapInPandas(run, schema)
+
+
+def mosaic_scene(tiles_like_df: DataFrame) -> DataFrame:
+    """Assemble each (scene, band)'s tile grid back into ONE full-scene
+    raster row — the engine's form of the reference's single-GeoTIFF
+    sink (windows written into one dst, rio_toa/radiance.py:108-111).
+
+    Works on raw tiles (uint16, no dtype column) and on TOA outputs
+    (dtype column present). One shuffle, keyed (scene_id, band); each
+    group materializes one scene-band buffer — bounded by scene size
+    (the same bound the reference's single-file output has), and groups
+    parallelize across (scene, band) pairs.
+    """
+    has_dtype = "dtype" in tiles_like_df.columns
+    has_bounds = "bounds_w" in tiles_like_df.columns
+    out_schema = T.StructType(
+        [
+            tiles_like_df.schema["scene_id"],
+            tiles_like_df.schema["band"],
+            T.StructField("height", T.IntegerType()),
+            T.StructField("width", T.IntegerType()),
+            T.StructField("dtype", T.StringType()),
+            T.StructField("bounds_w", T.DoubleType()),
+            T.StructField("bounds_s", T.DoubleType()),
+            T.StructField("bounds_e", T.DoubleType()),
+            T.StructField("bounds_n", T.DoubleType()),
+            T.StructField("pixels", T.BinaryType()),
+        ]
+    )
+
+    def assemble(key, pdf: pd.DataFrame) -> pd.DataFrame:
+        scene_id, band = key
+        dtype = pdf["dtype"].iloc[0] if has_dtype else "uint16"
+        np_dtype = np.dtype(dtype)
+        pdf = pdf.sort_values(["tile_row", "tile_col"])
+        n_rows = int(pdf["tile_row"].max()) + 1
+        n_cols = int(pdf["tile_col"].max()) + 1
+        grid = [[None] * n_cols for _ in range(n_rows)]
+        for row in pdf.itertuples(index=False):
+            grid[int(row.tile_row)][int(row.tile_col)] = np.frombuffer(
+                row.pixels, dtype=np_dtype
+            ).reshape(row.height, row.width)
+        full = np.block(grid)
+        return pd.DataFrame(
+            {
+                "scene_id": [scene_id],
+                "band": [band],
+                "height": [full.shape[0]],
+                "width": [full.shape[1]],
+                "dtype": [dtype],
+                "bounds_w": [float(pdf["bounds_w"].min()) if has_bounds else None],
+                "bounds_s": [float(pdf["bounds_s"].min()) if has_bounds else None],
+                "bounds_e": [float(pdf["bounds_e"].max()) if has_bounds else None],
+                "bounds_n": [float(pdf["bounds_n"].max()) if has_bounds else None],
+                "pixels": [full.tobytes()],
+            }
+        )
+
+    return tiles_like_df.groupBy("scene_id", "band").applyInPandas(assemble, out_schema)
