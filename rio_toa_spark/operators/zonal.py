@@ -124,9 +124,11 @@ def zonal_stats(
     band, width, height, nodata, bounds_*, pixels uint16 LE).
 
     A pixel belongs to a zone iff its center lies inside the zone box
-    (inclusive). Nodata pixels are excluded. Returns one row per
-    (zone, band) with px_count / px_mean / px_min / px_max; zones that
-    intersect no tile produce no row (inner semantics).
+    (inclusive). Nodata pixels are excluded when the input carries a
+    ``nodata`` column (raw tiles); TOA output rows (float32/float64
+    payloads with a ``dtype`` column, no ``nodata``) aggregate every
+    pixel. Returns one row per (zone, band) with px_count / px_mean /
+    px_min / px_max; zones intersecting no tile produce no row.
     """
     zcover = _explode_cover(zones_df, level)
     tcover = _tile_cover_cells(tiles_df, level)
@@ -147,12 +149,15 @@ def zonal_stats(
     joined = tcover.join(F.broadcast(zcover), "cell").where(overlap & canonical)
 
     out_schema = T.StructType([zones_df.schema[zone_key]] + _PARTIAL_FIELDS)
+    has_dtype = "dtype" in tiles_df.columns
+    has_nodata = "nodata" in tiles_df.columns
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             zid, band, cnt, tot, mn, mx = [], [], [], [], [], []
             for row in pdf.itertuples(index=False):
-                arr = np.frombuffer(row.pixels, dtype=np.uint16).reshape(
+                np_dtype = np.dtype(row.dtype) if has_dtype else np.dtype(np.uint16)
+                arr = np.frombuffer(row.pixels, dtype=np_dtype).reshape(
                     row.height, row.width
                 )
                 dx = (row.bounds_e - row.bounds_w) / row.width
@@ -163,7 +168,7 @@ def zonal_stats(
                 in_x = (cx >= row.fw) & (cx <= row.fe)
                 in_y = (cy >= row.fs) & (cy <= row.fn)
                 sub = arr[np.ix_(in_y, in_x)]
-                vals = sub[sub != row.nodata]
+                vals = sub[sub != row.nodata] if has_nodata else sub.ravel()
                 zid.append(getattr(row, zone_key))
                 band.append(row.band)
                 cnt.append(int(vals.size))

@@ -129,3 +129,39 @@ def test_dn_histogram_rejects_non_power_of_two(spark, tiles_df):
 
     with pytest.raises(ValueError):
         dn_histogram(tiles_df, n_buckets=10)
+
+
+def test_zonal_over_toa_output(spark, tiles_df, scenes_df, zones_df):
+    """zonal_stats composes with the TOA operators: float32 radiance
+    tiles (dtype column, no nodata column) re-geolocated by joining the
+    source tile bounds back on the tile key."""
+    from rio_toa_spark.operators import toa
+
+    rad = toa.radiance_tiles(tiles_df, scenes_df, band=5)
+    geom = tiles_df.where(F.col("band") == 5).select(
+        "scene_id", "band", "tile_row", "tile_col",
+        "bounds_w", "bounds_s", "bounds_e", "bounds_n",
+    )
+    rad_geo = rad.join(geom, toa.TILE_KEY)
+    got = {
+        (r.zone_id, r.band): (r.px_count, r.px_min, r.px_max)
+        for r in zonal_stats(rad_geo, zones_df).collect()
+    }
+    # independent mask-based accumulation over the same float32 rows
+    exp = {}
+    for t in rad_geo.collect():
+        arr = np.frombuffer(t.pixels, np.float32).reshape(t.height, t.width)
+        dx = (t.bounds_e - t.bounds_w) / t.width
+        dy = (t.bounds_n - t.bounds_s) / t.height
+        xs = t.bounds_w + (np.arange(t.width) + 0.5) * dx
+        ys = t.bounds_n - (np.arange(t.height) + 0.5) * dy
+        for z in zones_df.collect():
+            gx, gy = np.meshgrid(xs, ys)
+            mask = (gx >= z.fw) & (gx <= z.fe) & (gy >= z.fs) & (gy <= z.fn)
+            vals = arr[mask]
+            if not vals.size:
+                continue
+            key = (z.zone_id, t.band)
+            cnt, mn, mx = exp.get(key, (0, np.inf, -np.inf))
+            exp[key] = (cnt + int(vals.size), min(mn, float(vals.min())), max(mx, float(vals.max())))
+    assert got == exp and got
