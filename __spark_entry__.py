@@ -377,32 +377,32 @@ def _simhash_sql() -> str:
 # portable md5 bucket hash -> distinct candidates -> exact Jaccard
 # verify at 0.5. Mirrors dedup.minhash_signatures + lsh_candidate_pairs
 # + ngram_jaccard_pairs exactly.
+# The verify intersects the DISTINCT 60-bit shingle hashes (identical
+# md5 primitive in both engines) — same Jaccard value as string-set
+# intersection, mirroring dedup._lsh_jaccard_fused exactly.
 _MINHASH_LSH_SQL = r"""
 WITH toks AS (SELECT doc_id, %s AS __toks FROM documents),
-sh AS (SELECT doc_id, %s AS shingles FROM toks),
+sh AS (SELECT doc_id, list_transform(%s, s -> %s) AS hs FROM toks),
 sig AS (
-  SELECT doc_id, list_transform(range(0, 16),
-    i -> list_min(list_transform(shingles,
-      s -> ((1103515245 * (i + 1) %% 2147483647) * (%s %% 2147483647)
+  SELECT doc_id, hs, list_transform(range(0, 16),
+    i -> list_min(list_transform(hs,
+      h -> ((1103515245 * (i + 1) %% 2147483647) * (h %% 2147483647)
             + (12345 * (i + 1) %% 2147483647)) %% 2147483647))) AS sig
   FROM sh
 ),
 banded AS (
-  SELECT doc_id, b AS band,
+  SELECT doc_id, hs, b AS band,
     CAST(('0x' || substring(md5(array_to_string(sig[b*4+1:b*4+4], ',')), 1, 15)) AS BIGINT) AS bucket
   FROM sig CROSS JOIN range(4) t(b)
 ),
 cand AS (
-  SELECT DISTINCT l.doc_id AS a, r.doc_id AS b
+  SELECT DISTINCT l.doc_id AS a, r.doc_id AS b,
+    CAST(len(list_intersect(l.hs, r.hs)) AS DOUBLE)
+      / len(list_distinct(list_concat(l.hs, r.hs))) AS jac
   FROM banded l JOIN banded r
     ON l.band = r.band AND l.bucket = r.bucket AND l.doc_id < r.doc_id
 )
-SELECT a, b, round(jac, 9) AS jaccard FROM (
-  SELECT c.a, c.b,
-    CAST(len(list_intersect(sa.shingles, sb.shingles)) AS DOUBLE)
-      / len(list_distinct(list_concat(sa.shingles, sb.shingles))) AS jac
-  FROM cand c JOIN sh sa ON sa.doc_id = c.a JOIN sh sb ON sb.doc_id = c.b
-) WHERE jac >= 0.5
+SELECT a, b, round(jac, 9) AS jaccard FROM cand WHERE jac >= 0.5
 """ % (_TOKS_SQL, _SHINGLES_SQL, _H60 % "s")
 
 

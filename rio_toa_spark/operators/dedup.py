@@ -227,16 +227,26 @@ def _lsh_jaccard_fused(
     bands: int = 4,
     rows_per_band: int = 4,
 ) -> DataFrame:
-    """Single-pass MinHash-LSH near-dup pipeline: shingle -> minhash ->
-    band buckets (shingles carried along) -> within-bucket pairs with
-    exact Jaccard verify. One text scan, two shuffles (bucket groupBy +
-    final distinct), zero caching, zero joins."""
-    sh = _parallelize(df).select(F.col(key), shingles(F.col(text), shingle_n).alias("sh"))
-    hashes = F.transform(
-        F.col("sh"), lambda s: F.conv(F.substring(F.md5(s), 1, 15), 16, 10).cast("long")
+    """Single-pass MinHash-LSH near-dup pipeline: shingle-hash ->
+    minhash -> band buckets (hash arrays carried along) -> within-
+    bucket pairs with exact Jaccard verify. One text scan, two
+    shuffles (bucket groupBy + final distinct), zero caching, zero
+    joins.
+
+    The verify intersects the DISTINCT 60-bit shingle hashes, not the
+    shingle strings: |hash(A) ∩ hash(B)| / |hash(A) ∪ hash(B)| equals
+    the string-set Jaccard (md5 is collision-free at these set sizes
+    w.h.p. and IDENTICALLY computed by the DuckDB twin, so the
+    cross-engine gate still holds exactly) while shuffling 8-byte
+    longs instead of shingle text and comparing integers instead of
+    strings."""
+    sh = _parallelize(df).select(
+        F.col(key), shingle_hashes(F.col(text), shingle_n).alias("sh")
     )
     sig_df = sh.select(
-        F.col(key), F.col("sh"), minhash_from_hashes(hashes, num_hashes).alias("minhash")
+        F.col(key),
+        F.col("sh"),
+        minhash_from_hashes(F.col("sh"), num_hashes).alias("minhash"),
     )
     banded = sig_df.select(
         key,
