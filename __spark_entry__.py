@@ -1328,14 +1328,25 @@ def _q_resume_metrics(spark, sf_dir):
     # radiance job runs once (idempotent; reruns find all partitions
     # committed), then its manifest is surfaced as a DataFrame.
     # Deterministic projection only (chunk ids / wall times vary).
+    import hashlib
+
     from rio_toa_spark.operators import toa
     from rio_toa_spark.plans.manifest import ResumableJob
 
     paths = _fixture_paths()
     tiles = spark.read.parquet(paths["tiles"])
     scenes = spark.read.parquet(paths["scenes"])
-    out_dir = os.path.join(_REPO, ".fixtures", "entry_resume")
-    job = ResumableJob(out_dir, "scene_id", lineage={"q": "resume_metrics", "v": 1})
+    # input fingerprint (path + size + mtime) keys both the lineage and
+    # the output dir: regenerated fixtures get a FRESH manifest instead
+    # of silently replaying the old run's metrics
+    st = os.stat(paths["tiles"])
+    fp = hashlib.md5(
+        ("%s:%d:%d" % (paths["tiles"], st.st_size, int(st.st_mtime))).encode()
+    ).hexdigest()[:12]
+    out_dir = os.path.join(_REPO, ".fixtures", "entry_resume_%s" % fp)
+    job = ResumableJob(
+        out_dir, "scene_id", lineage={"q": "resume_metrics", "v": 1, "inputs": fp}
+    )
     job.run(toa.radiance_tiles(tiles, scenes, band=5), chunk_partitions=2)
     return job.metrics(spark).select("partition", "rows").orderBy("partition")
 

@@ -36,9 +36,16 @@ def _write(df, dst, partition_cols=("scene_id", "band"), args=None):
     if args is not None and getattr(args, "resume", False) and cols:
         from rio_toa_spark.plans.manifest import ResumableJob
 
-        lineage = {"cmd": args.cmd, "inputs": sorted(
-            v for k, v in vars(args).items() if k in ("tiles", "scenes", "pages") and v
-        )}
+        # the lineage fingerprint must cover EVERY parameter that
+        # changes the output, not just the input paths — otherwise
+        # rerunning with e.g. a different --band would find all
+        # partitions committed and silently keep stale data
+        lineage = {
+            k: (sorted(v) if isinstance(v, list) else v)
+            for k, v in sorted(vars(args).items())
+            if k not in ("fn", "master", "resume", "chunk_partitions", "dst")
+            and v is not None
+        }
         job = ResumableJob(dst, cols[0], lineage=lineage)
         stats = job.run(df, chunk_partitions=getattr(args, "chunk_partitions", 0))
         print(json.dumps(stats))

@@ -115,7 +115,11 @@ def minhash_signatures(
 
 
 def lsh_candidate_pairs(
-    sig_df: DataFrame, key: str = "doc_id", bands: int = 4, rows_per_band: int = 4
+    sig_df: DataFrame,
+    key: str = "doc_id",
+    bands: int = 4,
+    rows_per_band: int = 4,
+    max_bucket: int | None = None,
 ) -> DataFrame:
     """LSH banding: split each signature into bands, hash each band to
     a bucket, then emit all intra-bucket pairs. Output: distinct
@@ -138,19 +142,9 @@ def lsh_candidate_pairs(
         F.col(key),
         F.explode(_band_buckets("minhash", bands, rows_per_band)).alias("bb"),
     ).select(key, "bb.band", "bb.bucket")
-    buckets = (
-        banded.groupBy("band", "bucket")
-        .agg(F.sort_array(F.collect_list(F.col(key))).alias("_ks"))
-        .where(F.size("_ks") >= 2)
-        # pin parallelism for the quadratic expansion (see
-        # _lsh_jaccard_fused: AQE coalesces by bytes, not by work)
-        .repartition(sig_df.sparkSession.sparkContext.defaultParallelism)
-    )
-    return (
-        buckets.select(F.explode(_pairs_within("_ks")).alias("p"))
-        .select(F.col("p.a"), F.col("p.b"))
-        .distinct()
-    )
+    return _bucket_pairs(
+        banded, ["band", "bucket"], key, max_bucket=max_bucket
+    ).distinct()
 
 
 def _band_buckets(sig_col: str, bands: int, rows_per_band: int) -> Column:
@@ -170,18 +164,68 @@ def _band_buckets(sig_col: str, bands: int, rows_per_band: int) -> Column:
     return F.array(*[band_bucket(b) for b in range(bands)])
 
 
-def _pairs_within(ks: str) -> Column:
-    """All (a, b) pairs with a < b from a SORTED array column — the
-    within-bucket quadratic step, as a native nested transform."""
-    return F.flatten(
+def _bucket_pairs(
+    banded: DataFrame,
+    group_cols: list[str],
+    key: str,
+    payload: str | None = None,
+    payload_a: str = "pa",
+    payload_b: str = "pb",
+    max_bucket: int | None = None,
+) -> DataFrame:
+    """Shared candidate-pair expansion for every LSH family:
+    groupBy(group_cols) -> sorted collect_list -> all within-bucket
+    (a, b[, payload_a, payload_b]) pairs with a < b.
+
+    One shuffle; the signature/payload pipeline feeding ``banded`` runs
+    exactly once (no self-join, no cache). The explicit repartition
+    pins parallelism for the quadratic expansion stage — AQE's
+    size-based coalescing sees tiny bytes and would serialize the
+    work-heavy stage to ~1 task (measured 4x end-to-end regression).
+
+    ``max_bucket`` (optional) SKIPS buckets larger than the cap: a
+    degenerate giant bucket (a huge exact-duplicate class) would
+    otherwise collect into one row and expand O(n^2) pairs inside it —
+    an executor-memory hazard. Run exact_dedup first so such classes
+    never form; the cap is the belt-and-braces bound for callers that
+    don't, at the documented cost of recall inside skipped buckets.
+    """
+    spark = banded.sparkSession
+    item = (
+        F.struct(F.col(key).alias("a"), F.col(payload).alias("s"))
+        if payload
+        else F.col(key)
+    )
+    buckets = (
+        banded.groupBy(*group_cols)
+        .agg(F.sort_array(F.collect_list(item)).alias("_ms"))
+        .where(F.size("_ms") >= 2)
+    )
+    if max_bucket is not None:
+        buckets = buckets.where(F.size("_ms") <= max_bucket)
+    buckets = buckets.repartition(spark.sparkContext.defaultParallelism)
+
+    if payload:
+        def pair(x, y):
+            return F.struct(
+                x["a"].alias("a"), y["a"].alias("b"),
+                x["s"].alias(payload_a), y["s"].alias(payload_b),
+            )
+    else:
+        def pair(x, y):
+            return F.struct(x.alias("a"), y.alias("b"))
+
+    pair_structs = F.flatten(
         F.transform(
-            F.col(ks),
+            F.col("_ms"),
             lambda x, i: F.transform(
-                F.slice(F.col(ks), i + 2, F.size(F.col(ks))),
-                lambda y: F.struct(x.alias("a"), y.alias("b")),
+                F.slice(F.col("_ms"), i + 2, F.size(F.col("_ms"))),
+                lambda y: pair(x, y),
             ),
         )
     )
+    out_cols = ["p.a", "p.b"] + (["p.%s" % payload_a, "p.%s" % payload_b] if payload else [])
+    return buckets.select(F.explode(pair_structs).alias("p")).select(*out_cols)
 
 
 def ngram_jaccard_pairs(
@@ -191,6 +235,7 @@ def ngram_jaccard_pairs(
     key: str = "doc_id",
     shingle_n: int = 3,
     threshold: float = 0.8,
+    max_bucket: int | None = None,
 ) -> DataFrame:
     """Exact n-gram Jaccard for candidate pairs (or LSH candidates when
     ``pairs`` is None): |A ∩ B| / |A ∪ B| >= threshold.
@@ -204,7 +249,7 @@ def ngram_jaccard_pairs(
     inter_ab = F.size(F.array_intersect(F.col("sh_a"), F.col("sh_b")))
     union_ab = F.size(F.array_union(F.col("sh_a"), F.col("sh_b")))
     if pairs is None:
-        return _lsh_jaccard_fused(df, text, key, shingle_n, threshold)
+        return _lsh_jaccard_fused(df, text, key, shingle_n, threshold, max_bucket=max_bucket)
     sh = _parallelize(df).select(F.col(key), shingles(F.col(text), shingle_n).alias("sh"))
     a = sh.select(F.col(key).alias("a"), F.col("sh").alias("sh_a"))
     b = sh.select(F.col(key).alias("b"), F.col("sh").alias("sh_b"))
@@ -226,6 +271,7 @@ def _lsh_jaccard_fused(
     num_hashes: int = 16,
     bands: int = 4,
     rows_per_band: int = 4,
+    max_bucket: int | None = None,
 ) -> DataFrame:
     """Single-pass MinHash-LSH near-dup pipeline: shingle-hash ->
     minhash -> band buckets (hash arrays carried along) -> within-
@@ -253,39 +299,15 @@ def _lsh_jaccard_fused(
         "sh",
         F.explode(_band_buckets("minhash", bands, rows_per_band)).alias("bb"),
     ).select(key, "sh", "bb.band", "bb.bucket")
-    buckets = (
-        banded.groupBy("band", "bucket")
-        .agg(
-            F.sort_array(
-                F.collect_list(F.struct(F.col(key).alias("a"), F.col("sh").alias("s")))
-            ).alias("_ms")
-        )
-        .where(F.size("_ms") >= 2)
-        # explicit repartition: the bucket rows are few BYTES but each
-        # expands quadratically — AQE's size-based coalescing would
-        # squeeze this stage to ~1 task (measured 4x end-to-end
-        # regression); a user repartition pins the parallelism
-        .repartition(df.sparkSession.sparkContext.defaultParallelism)
-    )
-    pair_structs = F.flatten(
-        F.transform(
-            F.col("_ms"),
-            lambda x, i: F.transform(
-                F.slice(F.col("_ms"), i + 2, F.size(F.col("_ms"))),
-                lambda y: F.struct(
-                    x["a"].alias("a"), y["a"].alias("b"),
-                    x["s"].alias("sh_a"), y["s"].alias("sh_b"),
-                ),
-            ),
-        )
-    )
     jaccard = (
         F.size(F.array_intersect(F.col("sh_a"), F.col("sh_b"))).cast("double")
         / F.size(F.array_union(F.col("sh_a"), F.col("sh_b")))
     )
     return (
-        buckets.select(F.explode(pair_structs).alias("p"))
-        .select("p.a", "p.b", "p.sh_a", "p.sh_b")
+        _bucket_pairs(
+            banded, ["band", "bucket"], key,
+            payload="sh", payload_a="sh_a", payload_b="sh_b", max_bucket=max_bucket,
+        )
         .withColumn("jaccard", jaccard)
         .where(F.col("jaccard") >= threshold)
         .select("a", "b", "jaccard")
@@ -329,11 +351,19 @@ def simhash_near_dups(
     bits: int = 32,
     max_hamming: int = 3,
     shingle_n: int = 3,
+    max_bucket: int | None = None,
 ) -> DataFrame:
-    """Near-dup pairs by SimHash Hamming distance. Candidates come
-    from 4-way bucket banding of the signature (any pair within
-    hamming <= bits/4 - 1 per band shares at least one identical
-    byte-band), verified exactly with bit_count.
+    """Near-dup pairs sharing at least one identical SimHash byte-band,
+    verified exactly with bit_count(xor) <= max_hamming.
+
+    Recall contract (pigeonhole over 4 bands): a pair is GUARANTEED to
+    share a band only when hamming <= 3; for 3 < max_hamming the
+    banding is a standard LSH recall/cost trade — pairs whose >= 4
+    differing bits spread across all four bands are not candidates.
+    Raise n_bands (narrower bands) for guaranteed recall at higher
+    radii. The DuckDB oracle twin mirrors the identical candidate
+    condition, so the correctness gate checks the implemented
+    semantics, not full-radius recall.
 
     Same single-pass groupBy(bucket) + within-bucket expansion shape
     as lsh_candidate_pairs — one shuffle, no cache, no signature
@@ -358,32 +388,12 @@ def simhash_near_dups(
             )
         ).alias("bb"),
     ).select(key, "sig", "bb.band", "bb.bucket")
-    buckets = (
-        banded.groupBy("band", "bucket")
-        .agg(
-            F.sort_array(
-                F.collect_list(F.struct(F.col(key).alias("a"), F.col("sig").alias("s")))
-            ).alias("_ms")
-        )
-        .where(F.size("_ms") >= 2)
-        .repartition(df.sparkSession.sparkContext.defaultParallelism)
-    )
-    pair_structs = F.flatten(
-        F.transform(
-            F.col("_ms"),
-            lambda x, i: F.transform(
-                F.slice(F.col("_ms"), i + 2, F.size(F.col("_ms"))),
-                lambda y: F.struct(
-                    x["a"].alias("a"), y["a"].alias("b"),
-                    x["s"].alias("sa"), y["s"].alias("sb"),
-                ),
-            ),
-        )
-    )
     hamming = F.bit_count(F.col("sa").bitwiseXOR(F.col("sb")))
     return (
-        buckets.select(F.explode(pair_structs).alias("p"))
-        .select("p.a", "p.b", "p.sa", "p.sb")
+        _bucket_pairs(
+            banded, ["band", "bucket"], key,
+            payload="sig", payload_a="sa", payload_b="sb", max_bucket=max_bucket,
+        )
         .where(hamming <= max_hamming)
         .select("a", "b", hamming.alias("hamming"))
         .distinct()
@@ -396,6 +406,7 @@ def embedding_near_dups(
     vec: str = "embedding",
     threshold: float = 0.95,
     n_planes: int = 8,
+    max_bucket: int | None = None,
 ) -> DataFrame:
     """Embedding-cosine near-duplicate pairs.
 
@@ -413,9 +424,15 @@ def embedding_near_dups(
             F.col(vec), F.lit(0.0), lambda a, x: a + x.cast("double") * x.cast("double")
         )
     )
+    # HOF rule (see CLAUDE.md): an expression referenced inside a
+    # transform lambda is re-evaluated per element — embedding the
+    # norm fold there would be O(d^2) per row. array_repeat evaluates
+    # the fold ONCE per row and zip_with's lambda then touches only
+    # bound values.
+    norm_arr = F.array_repeat(norm, F.size(F.col(vec)))
     normed = _parallelize(emb_df).select(
         F.col(key),
-        F.transform(F.col(vec), lambda x: x.cast("double") / norm).alias("_v"),
+        F.zip_with(F.col(vec), norm_arr, lambda x, n: x.cast("double") / n).alias("_v"),
     )
 
     def plane_sign(j: int) -> Column:
@@ -439,41 +456,21 @@ def embedding_near_dups(
         return F.when(weighted > 0, F.lit(1)).otherwise(F.lit(0))
 
     sig = F.concat_ws("", *[plane_sign(j).cast("string") for j in range(n_planes)])
-    bucketed = normed.withColumn("_sig", sig)
     # groupBy(signature) + within-bucket expansion: the normalization
     # and 8-plane signature run once per vector (a bucket self-join
     # would run them twice); buckets are tiny because a full n_planes
     # sign match is required
-    buckets = (
-        bucketed.groupBy("_sig")
-        .agg(
-            F.sort_array(
-                F.collect_list(F.struct(F.col(key).alias("a"), F.col("_v").alias("v")))
-            ).alias("_ms")
-        )
-        .where(F.size("_ms") >= 2)
-        .repartition(emb_df.sparkSession.sparkContext.defaultParallelism)
-    )
-    pair_structs = F.flatten(
-        F.transform(
-            F.col("_ms"),
-            lambda x, i: F.transform(
-                F.slice(F.col("_ms"), i + 2, F.size(F.col("_ms"))),
-                lambda y: F.struct(
-                    x["a"].alias("a"), y["a"].alias("b"),
-                    x["v"].alias("va"), y["v"].alias("vb"),
-                ),
-            ),
-        )
-    )
+    bucketed = normed.withColumn("_sig", sig)
     cos = F.aggregate(
         F.zip_with(F.col("va"), F.col("vb"), lambda x, y: x * y),
         F.lit(0.0),
         lambda a, x: a + x,
     )
     return (
-        buckets.select(F.explode(pair_structs).alias("p"))
-        .select("p.a", "p.b", "p.va", "p.vb")
+        _bucket_pairs(
+            bucketed, ["_sig"], key,
+            payload="_v", payload_a="va", payload_b="vb", max_bucket=max_bucket,
+        )
         .withColumn("cosine", cos)
         .where(F.col("cosine") >= threshold)
         .select("a", "b", "cosine")

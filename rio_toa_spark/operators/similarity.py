@@ -100,16 +100,21 @@ def cosine_topk_ivf(
     O(rows/n_centroids * n_probe) per query instead of O(rows).
 
     The centroid build trains Lloyd's on a driver-side sample that is
-    HARD-CAPPED at ``max_sample`` rows (limit() short-circuits the
-    scan) — never an O(corpus) collect, so the build path is safe at
-    10^9+ vectors; training k-means on a bounded sample is the
-    standard IVF procedure. Quality only needs sample >> n_centroids."""
+    HARD-CAPPED at ``max_sample`` rows — never an O(corpus) collect,
+    so the build path is safe at 10^9+ vectors; training k-means on a
+    bounded sample is the standard IVF procedure. Quality only needs
+    sample >> n_centroids. The cap takes the max_sample SMALLEST keys
+    (TakeOrderedAndProject: O(n log k) scan, bounded memory, no full
+    sort) rather than a bare limit(), whose row choice would depend on
+    partition layout and make centroids — and therefore query results —
+    nondeterministic across parallelism levels."""
     spark = emb_df.sparkSession
     sample = np.array(
         [
-            r[0]
-            for r in emb_df.select(vec)
+            r[1]
+            for r in emb_df.select(key, vec)
             .sample(fraction=sample_fraction, seed=seed)
+            .orderBy(key)
             .limit(max_sample)
             .collect()
         ],

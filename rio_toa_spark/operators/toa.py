@@ -362,13 +362,30 @@ def mosaic_scene(tiles_like_df: DataFrame) -> DataFrame:
         dtype = pdf["dtype"].iloc[0] if has_dtype else "uint16"
         np_dtype = np.dtype(dtype)
         pdf = pdf.sort_values(["tile_row", "tile_col"])
-        n_rows = int(pdf["tile_row"].max()) + 1
-        n_cols = int(pdf["tile_col"].max()) + 1
+        # the grid is anchored at the group's own min indices (a
+        # subsetted input need not start at tile 0,0), and a HOLE in
+        # the grid is a hard error — np.block on a None cell would
+        # otherwise die with an opaque executor TypeError
+        r0 = int(pdf["tile_row"].min())
+        c0 = int(pdf["tile_col"].min())
+        n_rows = int(pdf["tile_row"].max()) - r0 + 1
+        n_cols = int(pdf["tile_col"].max()) - c0 + 1
         grid = [[None] * n_cols for _ in range(n_rows)]
         for row in pdf.itertuples(index=False):
-            grid[int(row.tile_row)][int(row.tile_col)] = np.frombuffer(
+            grid[int(row.tile_row) - r0][int(row.tile_col) - c0] = np.frombuffer(
                 row.pixels, dtype=np_dtype
             ).reshape(row.height, row.width)
+        missing = [
+            (r + r0, c + c0)
+            for r in range(n_rows)
+            for c in range(n_cols)
+            if grid[r][c] is None
+        ]
+        if missing:
+            raise ValueError(
+                "mosaic_scene: scene %s band %s is missing tiles %s — "
+                "cannot assemble a contiguous raster" % (scene_id, band, missing[:8])
+            )
         full = np.block(grid)
         return pd.DataFrame(
             {

@@ -152,6 +152,17 @@ def test_cli_radiance_resume(spark, fixture_paths, tmp_path, capsys):
     assert _hive_rows(dst).num_rows == 16
 
 
+def test_cli_resume_refuses_changed_params(spark, fixture_paths, tmp_path, capsys):
+    """Lineage covers transform parameters: resuming the same output
+    dir with a different --band must refuse, not silently no-op."""
+    dst = str(tmp_path / "rad_lineage")
+    base = ["radiance", fixture_paths["tiles"], fixture_paths["scenes"], dst, "--resume"]
+    cli.main(base + ["--band", "5"])
+    capsys.readouterr()
+    with pytest.raises(ValueError, match="lineage"):
+        cli.main(base + ["--band", "7"])
+
+
 def test_cli_rejects_unknown_subcommand():
     with pytest.raises(SystemExit):
         cli.main(["frobnicate"])

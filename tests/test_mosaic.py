@@ -40,3 +40,23 @@ def test_mosaic_of_toa_output_keeps_dtype(spark, tiles_df, scenes_df):
         arr = np.frombuffer(r.pixels, np.float32).reshape(r.height, r.width)
         assert arr.shape == (r.height, r.width)
         assert r.bounds_w is None  # TOA rows carry no bounds columns
+
+
+def test_mosaic_rejects_holes(spark, tiles_df):
+    import pytest
+
+    holey = tiles_df.where(
+        (F.col("band") == 5)
+        & ~((F.col("tile_row") == 0) & (F.col("tile_col") == 0))
+    )
+    with pytest.raises(Exception, match="missing tiles"):
+        toa.mosaic_scene(holey).collect()
+
+
+def test_mosaic_subgrid_not_anchored_at_zero(spark, tiles_df):
+    """A full sub-rectangle that doesn't start at (0,0) mosaics fine."""
+    sub = tiles_df.where((F.col("band") == 5) & (F.col("tile_row") == 1))
+    out = toa.mosaic_scene(sub).collect()
+    assert out
+    for r in out:
+        assert r.height == 128 and r.width == 256  # 1x2 strip of 128px tiles

@@ -182,3 +182,18 @@ def test_embedding_near_dups_planted(spark, embs):
     got = {(r.a, r.b) for r in out.collect()}
     planted = {(r.vec_id, r.vec_id + 100000) for r in base.collect()}
     assert planted <= got
+
+
+def test_lsh_max_bucket_skips_degenerate_buckets(spark, docs):
+    """A giant exact-duplicate class would expand O(n^2) inside one
+    bucket row; max_bucket skips it (recall trade documented)."""
+    base = docs.limit(4)
+    clones = base
+    for i in range(1, 30):
+        clones = clones.unionByName(base.withColumn("doc_id", F.col("doc_id") + 1000 * i))
+    # 4 duplicate classes of size 30 -> capped run finds none of those
+    # pairs, uncapped finds all C(30,2)*4
+    capped = dedup.ngram_jaccard_pairs(clones, threshold=0.9, max_bucket=10)
+    full = dedup.ngram_jaccard_pairs(clones, threshold=0.9)
+    assert capped.count() == 0
+    assert full.count() == 4 * (30 * 29) // 2
