@@ -1045,6 +1045,27 @@ FROM v LEFT JOIN c ON v.user_id = c.user_id LEFT JOIN p ON v.user_id = p.user_id
 """
 
 
+def _q_json_props(spark, sf_dir):
+    # JSON-function surface: extract the numeric k from the props JSON
+    # string and bucket-aggregate it
+    e = _t(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").cast("int")
+    return (
+        e.select("event_type", k.alias("k"))
+        .where(F.col("k").isNotNull())
+        .groupBy("event_type", (F.col("k") % 10).alias("k_mod"))
+        .agg(F.count("*").alias("n"), F.sum("k").alias("k_sum"))
+    )
+
+
+_JSON_SQL = """
+SELECT event_type, CAST(json_extract(props, '$.k') AS INTEGER) % 10 AS k_mod,
+  COUNT(*) AS n, SUM(CAST(json_extract(props, '$.k') AS INTEGER)) AS k_sum
+FROM events WHERE json_extract(props, '$.k') IS NOT NULL
+GROUP BY 1, 2
+"""
+
+
 def _q_media_describe(spark, sf_dir):
     # multimodal metadata over binary payloads (documents.text encoded)
     from rio_toa_spark.operators.multimodal import describe_media
@@ -1484,6 +1505,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "media_describe": _q_media_describe,
         "sessionize": _q_sessionize,
         "funnel_events": _q_funnel_events,
+        "json_props": _q_json_props,
         # fixture-parquet queries (DuckDB twins read the same files)
         "pages_extract_text": _q_pages_extract_text,
         "pages_pip_tiles": _q_pages_pip_tiles,
@@ -1567,6 +1589,7 @@ def oracle_sql() -> dict[str, str]:
         "date_buckets": _DATE_SQL,
         "string_funcs": _STRING_SQL,
         "funnel_events": _FUNNEL_SQL,
+        "json_props": _JSON_SQL,
         "media_describe": _MEDIA_SQL,
         "sessionize": __import__("rio_toa_spark.operators.sessions", fromlist=["x"]).SESSIONIZE_ORACLE_SQL.format(gap_s=1800),
         # formerly rows-only, now exact-twinned
