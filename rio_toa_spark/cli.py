@@ -88,6 +88,16 @@ def cmd_reflectance(args):
         tiles = read_band_files(spark, paths, template=args.template)
         pattern = re.compile(args.template.replace("{b}", "([0-9]+?)"))
         bands = args.bands or sorted({int(pattern.match(p).group(1)) for p in paths})
+    elif args.l8_bidx is not None:
+        # reference cli.py:96-101: a non-zero bidx is the explicit band
+        # index for the source (skips filename derivation entirely)
+        if args.l8_bidx < 1 or args.l8_bidx > 11:
+            raise SystemExit(
+                "--l8-bidx must be 0 (derive from filename) or a Landsat-8 "
+                "band 1-11, got %d" % args.l8_bidx
+            )
+        tiles = spark.read.parquet(*paths)
+        bands = [args.l8_bidx]
     else:
         tiles = spark.read.parquet(*paths)
         bands = args.bands or [4]

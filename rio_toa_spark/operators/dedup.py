@@ -20,6 +20,8 @@ are partial-aggregated map-side by Catalyst.
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -43,7 +45,34 @@ def _parallelize(df: DataFrame) -> DataFrame:
     files = df.inputFiles()
     if files and len(files) >= max(2, target // 2):
         return df
+    # few files, but parquet splits by byte range: a single large file
+    # still fans out into ~size/maxPartitionBytes scan tasks. Only pay
+    # the repartition shuffle when the splittable-size signal says the
+    # scan really is under-parallel (exactly the big-input case where
+    # an unconditional shuffle would hurt most).
+    if files:
+        try:
+            max_pb = _parse_bytes(
+                df.sparkSession.conf.get("spark.sql.files.maxPartitionBytes", "128MB")
+            )
+            total = 0
+            for uri in files:
+                path = uri[len("file:") :] if uri.startswith("file:") else uri
+                total += os.path.getsize(path)
+            est_splits = -(-total // max_pb)  # ceil
+            if est_splits >= max(2, target // 2):
+                return df
+        except OSError:
+            pass  # non-local URIs: fall through to the conservative shuffle
     return df.repartition(target)
+
+
+def _parse_bytes(v: str) -> int:
+    v = v.strip().lower().rstrip("b")
+    for suffix, mult in (("k", 1 << 10), ("m", 1 << 20), ("g", 1 << 30), ("t", 1 << 40)):
+        if v.endswith(suffix):
+            return int(float(v[:-1]) * mult)
+    return int(v)
 
 
 def normalized_text(text_col: Column) -> Column:

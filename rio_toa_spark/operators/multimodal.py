@@ -96,7 +96,19 @@ def decode_image(df: DataFrame, payload: str = "payload", key: str = "media_id")
         if bytes(p[:8]) == PNG_SIGNATURE:
             return decode_png(bytes(p))
         if _HAVE_PIL:  # pragma: no cover
-            raise NotImplementedError("real decoder path: wire PIL here")
+            # real decoder path for JPEG & friends when PIL exists in
+            # the environment; anything PIL can't parse (e.g. the
+            # driver's utf-8 text payloads) falls through to the stub
+            # rather than failing the batch
+            try:
+                import io
+
+                from PIL import Image
+
+                img = np.asarray(Image.open(io.BytesIO(bytes(p))).convert("RGB"))
+                return img.reshape(img.shape[0], img.shape[1], 3)
+            except Exception:
+                pass
         return _fake_decode(p)
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:

@@ -307,7 +307,13 @@ def tile_stats(toa_df: DataFrame) -> DataFrame:
             mins, maxs, means = [], [], []
             for row in pdf.itertuples(index=False):
                 arr = np.frombuffer(row.pixels, dtype=np.dtype(row.dtype))
-                finite = arr[np.isfinite(arr.astype(np.float64))]
+                # isfinite works on integer and float dtypes alike for
+                # masking; only a bool mask is materialized (no upcast)
+                finite = (
+                    arr[np.isfinite(arr)]
+                    if np.issubdtype(arr.dtype, np.floating)
+                    else arr
+                )
                 mins.append(float(finite.min()) if finite.size else float("nan"))
                 maxs.append(float(finite.max()) if finite.size else float("nan"))
                 means.append(float(finite.mean()) if finite.size else float("nan"))

@@ -73,10 +73,15 @@ def dn_histogram(
     bincounts each tile locally (one pass, O(pixels)), and only the
     (scene, band, bucket, n) partials shuffle. ``n_buckets`` must be a
     power of two so bucketing is a shift.
+
+    Nodata filtering applies only when the input carries a ``nodata``
+    column (raw DN tiles); frames without one (e.g. TOA output rows)
+    histogram every pixel rather than failing mid-executor.
     """
     if n_buckets & (n_buckets - 1):
         raise ValueError("n_buckets must be a power of two, got %d" % n_buckets)
     shift = 16 - int(np.log2(n_buckets))
+    drop_nodata = (not include_nodata) and "nodata" in tiles_df.columns
 
     schema = T.StructType(
         [
@@ -92,7 +97,7 @@ def dn_histogram(
             sid, band, bucket, n = [], [], [], []
             for row in pdf.itertuples(index=False):
                 arr = np.frombuffer(row.pixels, dtype=np.uint16)
-                if not include_nodata:
+                if drop_nodata:
                     arr = arr[arr != row.nodata]
                 counts = np.bincount(arr >> shift, minlength=n_buckets)
                 nz = np.nonzero(counts)[0]
@@ -124,7 +129,9 @@ def zonal_stats(
     band, width, height, nodata, bounds_*, pixels uint16 LE).
 
     A pixel belongs to a zone iff its center lies inside the zone box
-    (inclusive). Nodata pixels are excluded when the input carries a
+    under the half-open convention [fw, fe) x [fs, fn): a center lying
+    exactly on a boundary shared by two adjacent zones is counted by
+    exactly one of them. Nodata pixels are excluded when the input carries a
     ``nodata`` column (raw tiles); TOA output rows (float32/float64
     payloads with a ``dtype`` column, no ``nodata``) aggregate every
     pixel. Returns one row per (zone, band) with px_count / px_mean /
@@ -165,8 +172,8 @@ def zonal_stats(
                 # pixel-center coordinates; raster row 0 is the north edge
                 cx = row.bounds_w + (np.arange(row.width) + 0.5) * dx
                 cy = row.bounds_n - (np.arange(row.height) + 0.5) * dy
-                in_x = (cx >= row.fw) & (cx <= row.fe)
-                in_y = (cy >= row.fs) & (cy <= row.fn)
+                in_x = (cx >= row.fw) & (cx < row.fe)
+                in_y = (cy >= row.fs) & (cy < row.fn)
                 sub = arr[np.ix_(in_y, in_x)]
                 vals = sub[sub != row.nodata] if has_nodata else sub.ravel()
                 zid.append(getattr(row, zone_key))

@@ -117,8 +117,15 @@ class ResumableJob:
         ``max_chunks`` stops early after N chunks (used by tests to
         simulate a kill; production leaves it None).
         """
+        from pyspark.sql import Observation
+
         spark = df.sparkSession
         self._check_lineage()
+        # dynamic partition overwrite only for the duration of this job —
+        # restore the session's prior overwrite semantics afterwards
+        prior_mode = spark.conf.get(
+            "spark.sql.sources.partitionOverwriteMode", "static"
+        )
         spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
 
         pcol = self.partition_col
@@ -132,22 +139,32 @@ class ResumableJob:
             todo[i : i + chunk_partitions] for i in range(0, len(todo), chunk_partitions)
         ]
         ran = 0
-        for chunk in chunks:
-            if max_chunks is not None and ran >= max_chunks:
-                break
-            t0 = time.perf_counter()
-            part_df = df.where(F.col(pcol).isin(chunk))
-            counts = {
-                str(r[0]): r[1]
-                for r in part_df.groupBy(pcol).count().collect()
-            }
-            (
-                part_df.write.mode("overwrite")
-                .partitionBy(pcol)
-                .parquet(self.output_path)
-            )
-            self._commit_chunk(chunk, counts, time.perf_counter() - t0)
-            ran += 1
+        try:
+            for chunk in chunks:
+                if max_chunks is not None and ran >= max_chunks:
+                    break
+                t0 = time.perf_counter()
+                # per-partition row counts ride along on the write via
+                # observe() — ONE pass over the data, not a count() pass
+                # plus a write pass (chunk values are known and bounded,
+                # so one conditional-count column per value is cheap)
+                obs = Observation()
+                metric_cols = [
+                    F.count(F.when(F.col(pcol) == v, F.lit(1))).alias("n_%d" % i)
+                    for i, v in enumerate(chunk)
+                ]
+                part_df = df.where(F.col(pcol).isin(chunk)).observe(obs, *metric_cols)
+                (
+                    part_df.write.mode("overwrite")
+                    .partitionBy(pcol)
+                    .parquet(self.output_path)
+                )
+                got = obs.get
+                counts = {str(v): int(got["n_%d" % i]) for i, v in enumerate(chunk)}
+                self._commit_chunk(chunk, counts, time.perf_counter() - t0)
+                ran += 1
+        finally:
+            spark.conf.set("spark.sql.sources.partitionOverwriteMode", prior_mode)
         return {
             "total_partitions": len(all_parts),
             "previously_done": len(done),

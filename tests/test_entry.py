@@ -25,12 +25,30 @@ def duck():
 
 
 def _norm_cell(v):
+    import datetime
+
+    import numpy as np
+    import pandas as pd
+
+    if isinstance(v, np.ndarray):
+        v = v.tolist()
+    if isinstance(v, (list, tuple)):
+        return "[" + ",".join(_norm_cell(x) for x in v) + "]"
+    if v is None:
+        return "nan"
+    if isinstance(v, np.generic):
+        v = v.item()
     if isinstance(v, float):
         if math.isnan(v):
             return "nan"
         # driver-style value hash tolerance: exact repr after our own
         # in-query rounding
         return repr(round(v, 9))
+    if isinstance(v, datetime.datetime):
+        return "nan" if pd.isna(v) else v.isoformat()
+    if isinstance(v, datetime.date):
+        # align date with midnight Timestamp from pandas materialization
+        return v.isoformat() + "T00:00:00"
     if hasattr(v, "isoformat"):
         return v.isoformat()
     return repr(v)
@@ -66,9 +84,12 @@ def test_oracle_parity(spark, duck, name):
     spark_cols = sdf.columns
     spark_rows = [tuple(r) for r in sdf.collect()]
 
+    # materialize through pandas like the driver does — this is what
+    # surfaces DuckDB HUGEINT->float64 coercions (r02 json_props bug)
     rel = duck.sql(sql)
-    duck_cols = rel.columns
-    duck_rows = rel.fetchall()
+    pdf = rel.df()
+    duck_cols = list(pdf.columns)
+    duck_rows = [tuple(r) for r in pdf.itertuples(index=False, name=None)]
 
     assert sorted(spark_cols) == sorted(duck_cols), name
     assert len(spark_rows) == len(duck_rows), f"{name}: {len(spark_rows)} vs {len(duck_rows)}"

@@ -39,7 +39,7 @@ def _oracle(tiles_rows, zones_rows):
             ys = t.bounds_n - (np.arange(t.height) + 0.5) * dy
             gx, gy = np.meshgrid(xs, ys)
             mask = (
-                (gx >= z.fw) & (gx <= z.fe) & (gy >= z.fs) & (gy <= z.fn)
+                (gx >= z.fw) & (gx < z.fe) & (gy >= z.fs) & (gy < z.fn)
                 & (arr != t.nodata)
             )
             vals = arr[mask]
@@ -157,7 +157,7 @@ def test_zonal_over_toa_output(spark, tiles_df, scenes_df, zones_df):
         ys = t.bounds_n - (np.arange(t.height) + 0.5) * dy
         for z in zones_df.collect():
             gx, gy = np.meshgrid(xs, ys)
-            mask = (gx >= z.fw) & (gx <= z.fe) & (gy >= z.fs) & (gy <= z.fn)
+            mask = (gx >= z.fw) & (gx < z.fe) & (gy >= z.fs) & (gy < z.fn)
             vals = arr[mask]
             if not vals.size:
                 continue
