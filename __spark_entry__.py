@@ -304,26 +304,6 @@ _DEDUP_SQL = (
 )
 
 
-def _q_minhash(spark, sf_dir):
-    from rio_toa_spark.operators.dedup import minhash_signatures
-
-    d = _t(spark, sf_dir, "documents")
-    sig = minhash_signatures(d, num_hashes=8)
-    return sig.select("doc_id", F.posexplode("minhash").alias("perm_id", "sig"))
-
-
-_MINHASH_SQL = r"""
-SELECT doc_id, i AS perm_id,
-  list_min(list_transform(shingles,
-    s -> ((1103515245 * (i + 1) %% 2147483647) * (%s %% 2147483647)
-          + (12345 * (i + 1) %% 2147483647)) %% 2147483647)) AS sig
-FROM (
-  SELECT doc_id, %s AS shingles
-  FROM (SELECT doc_id, %s AS __toks FROM documents)
-) CROSS JOIN range(8) t(i)
-""" % (_H60 % "s", _SHINGLES_SQL, _TOKS_SQL)
-
-
 def _q_jaccard_pairs(spark, sf_dir):
     from rio_toa_spark.operators.dedup import ngram_jaccard_pairs
 
@@ -375,14 +355,36 @@ def _simhash_sql() -> str:
 
 # Full LSH pipeline twin: 16-perm minhash -> 4x4 banding with the
 # portable md5 bucket hash -> distinct candidates -> exact Jaccard
-# verify at 0.5. Mirrors dedup.minhash_signatures + lsh_candidate_pairs
-# + ngram_jaccard_pairs exactly.
-# The verify intersects the DISTINCT 60-bit shingle hashes (identical
-# md5 primitive in both engines) — same Jaccard value as string-set
-# intersection, mirroring dedup._lsh_jaccard_fused exactly.
+# verify at 0.5. Mirrors dedup._lsh_jaccard_fused exactly.
+# Shingle hashes are the token-hash polynomial combine of
+# dedup.shingle_hashes_from_tokens: one md5 per token folded to
+# [0, M31), then sum_j(th[i+j] * base^(j+1)) mod M31 per trigram
+# (single fold hash for docs under 3 tokens) — identical int64
+# arithmetic in both engines.
+def _lsh_shingle_hash_sql() -> str:
+    from rio_toa_spark.operators.dedup import _SHINGLE_BASE, shingle_weights
+
+    w = shingle_weights(3)
+    m = 2147483647
+    gram = (
+        "((__th[i] * {w0}) % {m} + (__th[i+1] * {w1}) % {m} "
+        "+ (__th[i+2] * {w2}) % {m}) % {m}"
+    ).format(w0=w[0], w1=w[1], w2=w[2], m=m)
+    fold = (
+        "list_reduce(list_prepend(CAST(0 AS BIGINT), __th), "
+        "(acc, h) -> (acc * {b} + h) % {m})"
+    ).format(b=_SHINGLE_BASE, m=m)
+    return (
+        "CASE WHEN len(__th) >= 3 THEN "
+        "list_distinct(list_transform(range(1, len(__th) - 1), i -> {gram})) "
+        "ELSE [{fold}] END"
+    ).format(gram=gram, fold=fold)
+
+
 _MINHASH_LSH_SQL = r"""
 WITH toks AS (SELECT doc_id, %s AS __toks FROM documents),
-sh AS (SELECT doc_id, list_transform(%s, s -> %s) AS hs FROM toks),
+th AS (SELECT doc_id, list_transform(__toks, t -> CAST(('0x' || substring(md5(t), 1, 15)) AS BIGINT) %% 2147483647) AS __th FROM toks),
+sh AS (SELECT doc_id, __SHINGLE_EXPR__ AS hs FROM th),
 sig AS (
   SELECT doc_id, hs, list_transform(range(0, 16),
     i -> list_min(list_transform(hs,
@@ -403,7 +405,8 @@ cand AS (
     ON l.band = r.band AND l.bucket = r.bucket AND l.doc_id < r.doc_id
 )
 SELECT a, b, round(jac, 9) AS jaccard FROM cand WHERE jac >= 0.5
-""" % (_TOKS_SQL, _SHINGLES_SQL, _H60 % "s")
+""" % (_TOKS_SQL,)
+_MINHASH_LSH_SQL = _MINHASH_LSH_SQL.replace("__SHINGLE_EXPR__", _lsh_shingle_hash_sql())
 
 
 def _simhash_pairs_sql(max_hamming: int = 6) -> str:

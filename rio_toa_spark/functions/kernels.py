@@ -40,7 +40,12 @@ def radiance(dn: np.ndarray, ml, al, src_nodata=0) -> np.ndarray:
     transform; passing ``src_nodata=None`` skips masking entirely
     (reference rio_toa/radiance.py:38-40).
     """
-    out = ml * dn.astype(np.float32) + al
+    # in-place on the astype copy: `out *= ml` is bitwise-identical to
+    # `ml * out` (IEEE multiply commutes; python-float scalar keeps the
+    # f32 dtype) while avoiding two full-buffer temporaries
+    out = dn.astype(np.float32)
+    out *= ml
+    out += al
     if src_nodata is not None:
         out[dn == src_nodata] = 0.0
     return out
@@ -91,9 +96,15 @@ def brightness_temp(dn: np.ndarray, ml, al, k1, k2, src_nodata=0) -> np.ndarray:
     src_nodata=0) and then overwrites with NaN
     (rio_toa/brightness_temp.py:57-60).
     """
+    # same ops as k2 / log(k1 / lum + 1), fused in place (one buffer,
+    # no temporaries; each step is the identical IEEE op on f32)
     lum = radiance(dn, ml, al, src_nodata=0)
     lum[dn == src_nodata] = np.nan
-    return k2 / np.log((k1 / lum) + 1)
+    np.divide(k1, lum, out=lum)
+    lum += 1
+    np.log(lum, out=lum)
+    np.divide(k2, lum, out=lum)
+    return lum
 
 
 def rescale(arr: np.ndarray, rescale_factor, dtype, clip: bool = True) -> np.ndarray:
