@@ -275,6 +275,19 @@ def run_scaling(sf_dir: str, levels=(2, 8)) -> dict:
 
 
 def _write_bench_md(table: dict, sf_dir: str) -> None:
+    # BENCH.md is hand-curated (variance record, decomposition,
+    # single-box ceilings). Don't clobber it: drop the raw
+    # machine-generated table next to it and remind the operator.
+    out = os.path.join(_REPO, "BENCH_scaling_latest.md")
+    print(
+        "scaling table written to %s — merge the numbers into BENCH.md "
+        "by hand (it carries curated analysis)" % out,
+        file=sys.stderr,
+    )
+    _write_bench_md_to(table, sf_dir, out)
+
+
+def _write_bench_md_to(table: dict, sf_dir: str, path: str) -> None:
     lines = [
         "# BENCH — scaling run",
         "",
@@ -328,7 +341,7 @@ def _write_bench_md(table: dict, sf_dir: str) -> None:
         "high level 2:1 and is not a like-for-like resource comparison.",
         "",
     ]
-    with open(os.path.join(_REPO, "BENCH.md"), "w") as fh:
+    with open(path, "w") as fh:
         fh.write("\n".join(lines))
 
 

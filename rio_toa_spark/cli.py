@@ -127,6 +127,13 @@ def cmd_brighttemp(args):
     _write(out, args.dst, args=args)
 
 
+def cmd_ingest(args):
+    from rio_toa_spark.sources.geotiff import ingest_cli
+
+    spark = _spark(args)
+    ingest_cli(spark, args.srcs.split(","), args.dst, tile_size=args.tile_size)
+
+
 def cmd_parsemtl(args):
     """MTL ODL text -> JSON on stdout (reference: cli.py:146-157,
     minus its IOError-path NameError bug)."""
@@ -195,6 +202,16 @@ def main(argv=None):
     p = sub.add_parser("parsemtl")
     p.add_argument("mtl", nargs="?", default="-")
     p.set_defaults(fn=cmd_parsemtl)
+
+    p = sub.add_parser(
+        "ingest",
+        help="GeoTIFF files -> partitioned parquet tile table "
+        "(requires rasterio; sources/geotiff.py)",
+    )
+    p.add_argument("srcs", help="comma-separated *_B{n}.TIF paths")
+    p.add_argument("dst")
+    p.add_argument("--tile-size", type=int, default=512)
+    p.set_defaults(fn=cmd_ingest)
 
     p = sub.add_parser("pipjoin")
     p.add_argument("pages")

@@ -117,7 +117,7 @@ def test_reflectance_per_pixel_sun_bitwise(spark, tiles_df, scenes_df, fixture_p
 
 
 def test_brightness_temp_bitwise_and_scales(spark, tiles_df, scenes_df, fixture_paths, mtls):
-    for scale in ("K", "C"):
+    for scale in ("K", "C", "F"):
         out = toa.brightness_temp_tiles(
             tiles_df, scenes_df, band=10, temp_scale=scale
         ).collect()
