@@ -254,10 +254,13 @@ def _q_knn_cells(spark, sf_dir):
     ).select("doc_id", "tile_id", "rank")
 
 
+# rank on squared distance — identical order to sqrt up to IEEE sqrt
+# rounding collisions, and exactly what every engine path computes
+# (broadcast kernel, cells window, straggler fallback)
 _KNN_SQL = (
     "SELECT doc_id, tile_id, CAST(rank AS INTEGER) AS rank FROM ("
     "  SELECT d.doc_id, c.tile_id, row_number() OVER ("
-    "    PARTITION BY d.doc_id ORDER BY sqrt((d.lon - c.cx) * (d.lon - c.cx) + (d.lat - c.cy) * (d.lat - c.cy)) ASC, c.tile_id ASC"
+    "    PARTITION BY d.doc_id ORDER BY (d.lon - c.cx) * (d.lon - c.cx) + (d.lat - c.cy) * (d.lat - c.cy) ASC, c.tile_id ASC"
     "  ) AS rank FROM (%s) d CROSS JOIN (%s) c"
     ") WHERE rank <= 3" % (_DOC_POINTS_SQL, _SUPPLIER_CENTROIDS_SQL)
 )
