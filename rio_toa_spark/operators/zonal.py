@@ -172,9 +172,16 @@ def zonal_stats(
                 # pixel-center coordinates; raster row 0 is the north edge
                 cx = row.bounds_w + (np.arange(row.width) + 0.5) * dx
                 cy = row.bounds_n - (np.arange(row.height) + 0.5) * dy
-                in_x = (cx >= row.fw) & (cx < row.fe)
-                in_y = (cy >= row.fs) & (cy < row.fn)
-                sub = arr[np.ix_(in_y, in_x)]
+                # the in-zone pixels [fw, fe) x [fs, fn) form a
+                # contiguous block (cx ascending, cy descending):
+                # compute slice bounds and take a VIEW, not the
+                # boolean-mask copy np.ix_ would make
+                x0 = np.searchsorted(cx, row.fw, side="left")
+                x1 = np.searchsorted(cx, row.fe, side="left")
+                asc = -cy  # ascending; cy < fn <=> -cy > -fn
+                y0 = np.searchsorted(asc, -row.fn, side="right")
+                y1 = np.searchsorted(asc, -row.fs, side="right")
+                sub = arr[y0:y1, x0:x1]
                 vals = sub[sub != row.nodata] if has_nodata else sub.ravel()
                 zid.append(getattr(row, zone_key))
                 band.append(row.band)
