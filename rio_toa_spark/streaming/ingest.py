@@ -103,3 +103,43 @@ def stream_event_rollup(
     if available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+def stream_toa_radiance(
+    spark: SparkSession,
+    tiles_source_dir: str,
+    scenes_df: DataFrame,
+    sink_dir: str,
+    checkpoint_dir: str,
+    band: int = 5,
+    available_now: bool = True,
+    **toa_kwargs,
+):
+    """Incremental TOA: tile-row drops (new scenes landing) stream
+    through the UNCHANGED batch radiance operator via foreachBatch —
+    the scenes dim stays a broadcast stream-static join, the Arrow
+    kernel is bitwise-identical to batch, and the checkpoint gives
+    exactly-once parquet output across restarts. foreachBatch is the
+    deliberate shape here: each micro-batch is a complete set of tile
+    rows, so the whole batch plan (partition-pruned scan -> broadcast
+    dim -> mapInArrow, zero shuffle) replays per trigger unchanged."""
+    from rio_toa_spark.operators import toa
+
+    tiles_schema = spark.read.parquet(tiles_source_dir).schema
+    raw = (
+        spark.readStream.schema(tiles_schema)
+        .option("maxFilesPerTrigger", 4)
+        .parquet(tiles_source_dir)
+    )
+
+    def process(batch_df: DataFrame, _batch_id: int) -> None:
+        out = toa.radiance_tiles(batch_df, scenes_df, band=band, **toa_kwargs)
+        out.write.mode("append").partitionBy("scene_id").parquet(sink_dir)
+
+    writer = (
+        raw.writeStream.foreachBatch(process)
+        .option("checkpointLocation", checkpoint_dir)
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

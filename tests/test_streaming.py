@@ -97,3 +97,41 @@ def test_stream_event_rollup(spark, tmp_path):
     assert got, "stream emitted nothing"
     for key, n in got.items():
         assert exp[key] == n
+
+
+def test_stream_toa_radiance_bitwise_vs_batch(spark, fixture_paths, tmp_path, tiles_df, scenes_df):
+    """Streaming TOA (foreachBatch over the unchanged batch operator)
+    produces byte-identical pixels to the batch pipeline, and a
+    checkpointed restart adds nothing."""
+    from rio_toa_spark.operators import toa
+    from rio_toa_spark.streaming.ingest import stream_toa_radiance
+
+    src = str(tmp_path / "tile_drops")
+    os.makedirs(src)
+    table = pq.read_table(fixture_paths["tiles"])
+    half = table.num_rows // 2
+    pq.write_table(table.slice(0, half), os.path.join(src, "d1.parquet"))
+    pq.write_table(table.slice(half), os.path.join(src, "d2.parquet"))
+
+    sink = str(tmp_path / "toa_sink")
+    q = stream_toa_radiance(
+        spark, src, scenes_df, sink, str(tmp_path / "toa_ckpt"), band=5
+    )
+    q.awaitTermination(180)
+
+    def keyed(df):
+        return {
+            (r.scene_id, r.band, r.tile_row, r.tile_col): bytes(r.pixels)
+            for r in df.collect()
+        }
+
+    got = keyed(spark.read.parquet(sink))
+    want = keyed(toa.radiance_tiles(tiles_df, scenes_df, band=5))
+    assert got == want  # same tiles, bitwise-equal float32 payloads
+
+    # restart on the same checkpoint: no new files -> no new rows
+    q2 = stream_toa_radiance(
+        spark, src, scenes_df, sink, str(tmp_path / "toa_ckpt"), band=5
+    )
+    q2.awaitTermination(180)
+    assert spark.read.parquet(sink).count() == len(want)
