@@ -122,6 +122,20 @@ def test_lsh_candidates_single_pass_uncached(spark):
     assert plan.count("Scan parquet") == 1, plan
 
 
+def test_token_hash_projection_not_inlined(spark):
+    """shingle_hash_sets materializes the per-token md5 array in its
+    own projection; if CollapseProject ever inlines it, the shingle
+    combine's higher-order lambdas would re-evaluate the md5 transform
+    per outer element (measured 11x slower). Guard: exactly one md5 in
+    the optimized plan."""
+    from rio_toa_spark.operators.dedup import shingle_hash_sets
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    sh = shingle_hash_sets(docs)
+    plan = sh._jdf.queryExecution().optimizedPlan().toString()
+    assert plan.count("md5") == 1, plan
+
+
 def test_zonal_partials_single_shuffle(spark, tiles_df, scenes_df):
     """Zonal stats: zones broadcast, pixel kernel map-side; the only
     hash exchange carries the per-pair partial doubles."""
