@@ -478,6 +478,72 @@ def _pages_sql() -> str:
     )
 
 
+def _dn_hist_sql() -> str:
+    # ground-truth oracle for the binary-pixel bincount path: the
+    # fixture generator writes every encoded DN value to tile_dns
+    # alongside the packed uint16 buffers, so the engine's distributed
+    # frombuffer -> shift -> bincount -> partial-merge must reproduce
+    # this exact histogram (nodata = 0 excluded, 16 buckets = >> 12)
+    paths = _fixture_paths()
+    return (
+        "SELECT scene_id, band, dn // 4096 AS bucket, COUNT(*) AS n "
+        "FROM read_parquet('%s') WHERE dn <> 0 GROUP BY 1, 2, 3"
+        % paths["tile_dns"]
+    )
+
+
+def _mosaic_sql() -> str:
+    # ground-truth oracle for the distributed mosaic sink: the fixture
+    # generator assembles each (scene, band) grid with numpy
+    # vstack/hstack and records the md5-60bit hash of the bytes — the
+    # engine's groupBy + np.block assembly must match byte-for-byte
+    paths = _fixture_paths()
+    return (
+        "SELECT scene_id, band, height, width, pixels_hash "
+        "FROM read_parquet('%s') WHERE band = 5" % paths["scene_mosaics"]
+    )
+
+
+def _zonal_sql() -> str:
+    # raster->vector exact twin: tile_dns carries every pixel's value
+    # AND its center coordinates (computed with the identical f64
+    # kernel formula at fixture-generation time), and the zone boxes
+    # are re-derived in SQL from the same MTL JSON corners the engine
+    # parses — LEAST/GREATEST + the same fraction arithmetic on
+    # identically-parsed doubles is bitwise-equal, so the half-open
+    # containment comparisons agree exactly. px_sum is exact (integer
+    # DNs in f64 stay integers below 2^53), so the mean division is
+    # the same two operands in both engines.
+    paths = _fixture_paths()
+    corner = (
+        "CAST(json_extract_string(mtl_json, "
+        "'$.L1_METADATA_FILE.PRODUCT_METADATA.CORNER_%s_%s_PRODUCT') AS DOUBLE)"
+    )
+    lons = ", ".join(corner % (c, "LON") for c in ("LL", "LR", "UR", "UL"))
+    lats = ", ".join(corner % (c, "LAT") for c in ("LL", "LR", "UR", "UL"))
+    return """
+WITH fp AS (
+  SELECT scene_id,
+    LEAST({lons}) AS fw, LEAST({lats}) AS fs,
+    GREATEST({lons}) AS fe, GREATEST({lats}) AS fn
+  FROM read_parquet('{scenes}')
+), zones AS (
+  SELECT scene_id AS zone_id,
+    fw + 0.137 * (fe - fw) AS zfw, fs + 0.211 * (fn - fs) AS zfs,
+    fw + 0.763 * (fe - fw) AS zfe, fs + 0.829 * (fn - fs) AS zfn
+  FROM fp
+)
+SELECT z.zone_id, d.band, COUNT(*) AS px_count,
+  round(CAST(SUM(CAST(d.dn AS BIGINT)) AS DOUBLE) / COUNT(*), 6) AS px_mean,
+  CAST(MIN(d.dn) AS DOUBLE) AS px_min,
+  CAST(MAX(d.dn) AS DOUBLE) AS px_max
+FROM read_parquet('{dns}') d JOIN zones z
+  ON d.cx >= z.zfw AND d.cx < z.zfe AND d.cy >= z.zfs AND d.cy < z.zfn
+WHERE d.dn <> 0
+GROUP BY 1, 2
+""".format(lons=lons, lats=lats, scenes=paths["scenes"], dns=paths["tile_dns"])
+
+
 def _resume_sql() -> str:
     # the manifest's per-partition row counts of a completed radiance
     # job must equal the input's band-5 tile counts per scene — an
@@ -1575,10 +1641,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sessionize": _q_sessionize,
         "funnel_events": _q_funnel_events,
         "media_describe": _q_media_describe,
-        # fixture-parquet queries (DuckDB twins read the same files)
+        # fixture-parquet queries (DuckDB twins read the same files;
+        # dn_histogram / scene_mosaic / zonal_dn_stats twins read the
+        # generator's ground-truth side tables: exploded DN values +
+        # pixel centers + numpy-assembled mosaic hashes)
         "pages_extract_text": _q_pages_extract_text,
         "pages_pip_tiles": _q_pages_pip_tiles,
-        # rows-only (non-SQL-expressible: binary pixel payloads)
+        # rows-only (float32 TOA pixel buffers are not SQL-expressible;
+        # they are verified BITWISE against the independent numpy
+        # oracle in tests/test_toa_ops.py instead)
         "toa_radiance_tiles": _q_toa_radiance_tiles,
         "toa_reflectance_pixel_sun": _q_toa_reflectance_pixel_sun,
         "toa_brighttemp_tiles": _q_toa_brighttemp_tiles,
@@ -1611,6 +1682,9 @@ def oracle_sql() -> dict[str, str]:
             "CAST(n_nationkey - 60 AS DOUBLE) AS al FROM nation"
         ),
         "resume_metrics": _resume_sql(),
+        "dn_histogram": _dn_hist_sql(),
+        "scene_mosaic": _mosaic_sql(),
+        "zonal_dn_stats": _zonal_sql(),
         "pip_broadcast": _PIP_SQL,
         "pip_salted": _PIP_SQL,
         "pip_index": _PIP_SQL,

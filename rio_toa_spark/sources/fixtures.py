@@ -322,6 +322,81 @@ def pages_arrow(
     )
 
 
+def _tile_ground_truth(tiles: pa.Table) -> tuple[pa.Table, pa.Table]:
+    """Ground-truth side tables derived from the SAME pixel arrays the
+    tiles carry as binary, giving the binary-pixel driver queries exact
+    SQL oracles:
+
+    * dns: one row per pixel (scene_id, band, dn int32, cx, cy pixel
+      centers) — checks that the engine's distributed frombuffer /
+      shift / bincount path recovers exactly the values that were
+      encoded, and (via cx/cy) that its raster->vector coordinate math
+      assigns every pixel to the right zone. cx/cy use the exact
+      kernel formula (operators/zonal.py): bounds + (i + 0.5) * extent
+      / size in f64, so the SQL oracle's coordinate comparisons are
+      bitwise-faithful.
+    * mosaics: per (scene, band) the numpy vstack/hstack assembly of
+      the full grid with the md5-60bit hash of its bytes — checks the
+      distributed mosaic_scene sink byte-for-byte.
+    """
+    import hashlib
+
+    per_scene_band: dict[tuple, dict[tuple, np.ndarray]] = {}
+    cols = tiles.to_pylist()
+    dn_s, dn_b, dn_v, dn_x, dn_y = [], [], [], [], []
+    for r in cols:
+        arr = np.frombuffer(r["pixels"], dtype=np.uint16).reshape(
+            r["height"], r["width"]
+        )
+        # pixel centers with the EXACT zonal-kernel arithmetic
+        dx = (r["bounds_e"] - r["bounds_w"]) / r["width"]
+        dy = (r["bounds_n"] - r["bounds_s"]) / r["height"]
+        cx = r["bounds_w"] + (np.arange(r["width"]) + 0.5) * dx
+        cy = r["bounds_n"] - (np.arange(r["height"]) + 0.5) * dy
+        dn_s.append(np.repeat(np.array([r["scene_id"]], dtype=object), arr.size))
+        dn_b.append(np.full(arr.size, r["band"], dtype=np.int32))
+        dn_v.append(arr.ravel().astype(np.int32))
+        dn_x.append(np.tile(cx, r["height"]))
+        dn_y.append(np.repeat(cy, r["width"]))
+        per_scene_band.setdefault((r["scene_id"], r["band"]), {})[
+            (r["tile_row"], r["tile_col"])
+        ] = arr
+    dns = pa.table(
+        {
+            "scene_id": pa.array(np.concatenate(dn_s), pa.string()),
+            "band": pa.array(np.concatenate(dn_b), pa.int32()),
+            "dn": pa.array(np.concatenate(dn_v), pa.int32()),
+            "cx": pa.array(np.concatenate(dn_x), pa.float64()),
+            "cy": pa.array(np.concatenate(dn_y), pa.float64()),
+        }
+    )
+    ms, mb, mh, mw, mhash = [], [], [], [], []
+    for (sid, band), grid_map in sorted(per_scene_band.items()):
+        n_rows = max(tr for tr, _ in grid_map) + 1
+        n_cols = max(tc for _, tc in grid_map) + 1
+        full = np.vstack(
+            [
+                np.hstack([grid_map[(tr, tc)] for tc in range(n_cols)])
+                for tr in range(n_rows)
+            ]
+        )
+        ms.append(sid)
+        mb.append(band)
+        mh.append(full.shape[0])
+        mw.append(full.shape[1])
+        mhash.append(int(hashlib.md5(full.tobytes()).hexdigest()[:15], 16))
+    mosaics = pa.table(
+        {
+            "scene_id": pa.array(ms, pa.string()),
+            "band": pa.array(mb, pa.int32()),
+            "height": pa.array(mh, pa.int32()),
+            "width": pa.array(mw, pa.int32()),
+            "pixels_hash": pa.array(mhash, pa.int64()),
+        }
+    )
+    return dns, mosaics
+
+
 def ensure_fixtures(
     out_dir: str,
     n_scenes: int = 4,
@@ -330,12 +405,25 @@ def ensure_fixtures(
     n_pages: int = 2000,
     bands: list[int] | None = None,
 ) -> dict[str, str]:
-    """Idempotently write {scenes,tiles,pages}.parquet under out_dir;
-    returns the path map. Deterministic for fixed arguments."""
+    """Idempotently write {scenes,tiles,pages,tile_dns,scene_mosaics}
+    .parquet under out_dir; returns the path map. Deterministic for
+    fixed arguments."""
     os.makedirs(out_dir, exist_ok=True)
-    paths = {name: os.path.join(out_dir, "%s.parquet" % name) for name in ("scenes", "tiles", "pages")}
+    paths = {
+        name: os.path.join(out_dir, "%s.parquet" % name)
+        for name in ("scenes", "tiles", "pages")
+    }
+    n_bands = len(bands or ALL_BANDS)
+    total_px = n_scenes * n_bands * grid * grid * tile_size * tile_size
+    # ground-truth side tables (exact oracles for the binary-pixel
+    # driver queries) only make sense at unit/driver fixture scale —
+    # the exploded-DN table is total_px rows
+    with_truth = total_px <= 32_000_000
+    if with_truth:
+        for name in ("tile_dns", "scene_mosaics"):
+            paths[name] = os.path.join(out_dir, "%s.parquet" % name)
     marker = os.path.join(
-        out_dir, ".fixtures-v2-%d-%d-%d-%d" % (n_scenes, grid, tile_size, n_pages)
+        out_dir, ".fixtures-v4-%d-%d-%d-%d" % (n_scenes, grid, tile_size, n_pages)
     )
     if os.path.exists(marker) and all(os.path.exists(p) for p in paths.values()):
         return paths
@@ -350,6 +438,10 @@ def ensure_fixtures(
         paths["pages"],
         row_group_size=max(1024, n_pages // 64),
     )
+    if with_truth:
+        dns, mosaics = _tile_ground_truth(tiles)
+        pq.write_table(dns, paths["tile_dns"], row_group_size=max(65536, dns.num_rows // 32))
+        pq.write_table(mosaics, paths["scene_mosaics"])
     with open(marker, "w") as fh:
         fh.write("ok\n")
     return paths
