@@ -174,3 +174,43 @@ class ResumableJob:
 
     def read(self, spark: SparkSession) -> DataFrame:
         return spark.read.parquet(self.output_path)
+
+    # ------------------------------------------------------- snapshots
+
+    def snapshots(self) -> list[dict]:
+        """Commit history, oldest first: one record per committed chunk
+        (chunk_id, committed_at, partitions) — the Iceberg-snapshot
+        analogue over the manifest log."""
+        recs = sorted(self._manifest_records(), key=lambda r: (r["committed_at"], r["chunk_id"]))
+        return [
+            {
+                "chunk_id": r["chunk_id"],
+                "committed_at": r["committed_at"],
+                "partitions": r["partitions"],
+            }
+            for r in recs
+        ]
+
+    def read_snapshot(self, spark: SparkSession, as_of_chunk: str) -> DataFrame:
+        """Time-travel read: the table as of the commit of
+        ``as_of_chunk`` — exactly the partitions committed by that
+        chunk and every chunk before it.
+
+        Consistent because chunks partition the to-do set: a later
+        chunk never rewrites an earlier chunk's partitions, so a prefix
+        of the commit log identifies a stable subset of partition
+        directories. Partition pruning makes this a metadata-level
+        filter, not a data scan."""
+        snaps = self.snapshots()
+        ids = [s["chunk_id"] for s in snaps]
+        if as_of_chunk not in ids:
+            raise ValueError(
+                "unknown chunk %r — committed chunks: %s" % (as_of_chunk, ids)
+            )
+        keep: list[str] = []
+        for s in snaps:
+            keep.extend(s["partitions"])
+            if s["chunk_id"] == as_of_chunk:
+                break
+        df = self.read(spark)
+        return df.where(F.col(self.partition_col).cast("string").isin(keep))

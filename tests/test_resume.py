@@ -85,3 +85,32 @@ def test_reprocessing_partition_does_not_duplicate(spark, toa_stats, tmp_path):
     job2 = ResumableJob(path, "scene_id", {})
     job2.run(toa_stats, chunk_partitions=1)
     assert _result_rows(spark, path) == expected
+
+
+def test_snapshot_time_travel(spark, toa_stats, tmp_path):
+    """read_snapshot(as_of_chunk) returns exactly the partitions
+    committed by that chunk and its predecessors — the Iceberg-snapshot
+    analogue over the manifest log."""
+    out = str(tmp_path / "snap")
+    job = ResumableJob(out, "scene_id", {"op": "radiance", "v": 1})
+    job.run(toa_stats, chunk_partitions=1)
+
+    snaps = job.snapshots()
+    assert len(snaps) == 4  # one chunk per scene
+    assert [len(s["partitions"]) for s in snaps] == [1, 1, 1, 1]
+
+    # as of the 2nd commit: exactly the first two scenes
+    second = snaps[1]["chunk_id"]
+    seen = {
+        r.scene_id
+        for r in job.read_snapshot(spark, second).select("scene_id").distinct().collect()
+    }
+    want = set(snaps[0]["partitions"]) | set(snaps[1]["partitions"])
+    assert seen == want
+
+    # latest snapshot == full read
+    last = snaps[-1]["chunk_id"]
+    assert job.read_snapshot(spark, last).count() == job.read(spark).count()
+
+    with pytest.raises(ValueError, match="unknown chunk"):
+        job.read_snapshot(spark, "nope")
