@@ -127,6 +127,20 @@ def cmd_brighttemp(args):
     _write(out, args.dst, args=args)
 
 
+def cmd_resume_inspect(args):
+    """Print a resumable output dir's commit log (and optionally its
+    per-partition metrics) as JSON — the operator's view of what a
+    killed/resumed job has durably finished."""
+    from rio_toa_spark.plans.manifest import ResumableJob
+
+    job = ResumableJob(args.dst, args.partition_col)
+    out = {"snapshots": job.snapshots(), "completed": sorted(job.completed_partitions())}
+    if args.metrics:
+        spark = _spark(args)
+        out["metrics"] = [r.asDict() for r in job.metrics(spark).collect()]
+    print(json.dumps(out, indent=2))
+
+
 def cmd_ingest(args):
     from rio_toa_spark.sources.geotiff import ingest_cli
 
@@ -202,6 +216,15 @@ def main(argv=None):
     p = sub.add_parser("parsemtl")
     p.add_argument("mtl", nargs="?", default="-")
     p.set_defaults(fn=cmd_parsemtl)
+
+    p = sub.add_parser(
+        "resume-inspect",
+        help="print a resumable output dir's commit log / metrics as JSON",
+    )
+    p.add_argument("dst")
+    p.add_argument("--partition-col", default="scene_id")
+    p.add_argument("--metrics", action="store_true")
+    p.set_defaults(fn=cmd_resume_inspect)
 
     p = sub.add_parser(
         "ingest",

@@ -151,6 +151,13 @@ def test_cli_radiance_resume(spark, fixture_paths, tmp_path, capsys):
     assert second["previously_done"] == 4
     assert _hive_rows(dst).num_rows == 16
 
+    # the operator's view: resume-inspect prints the commit log
+    cli.main(["resume-inspect", dst, "--metrics"])
+    state = json.loads(capsys.readouterr().out)
+    assert len(state["snapshots"]) == 2
+    assert len(state["completed"]) == 4
+    assert sum(m["rows"] for m in state["metrics"]) == 16
+
 
 def test_cli_resume_refuses_changed_params(spark, fixture_paths, tmp_path, capsys):
     """Lineage covers transform parameters: resuming the same output
