@@ -13,7 +13,8 @@ proxy documented in BENCH.md: PySpark runs ~2x its parallelism in OS
 processes, so 2/8 avoids oversubscribing this 32-core box) and report
 both throughputs plus scaling efficiency = (thr_hi / thr_lo) /
 (hi/lo) — the sandbox proxy for the north rule's N -> 4N executor
-criterion — writing the table to BENCH.md.
+criterion — writing the raw table to BENCH_scaling_latest.md
+(BENCH.md itself is hand-curated; merge numbers into it manually).
 
 Results are materialized with the noop sink (full execution, no
 driver collect).
@@ -66,7 +67,7 @@ def build_queries(spark, sf_dir):
 
     from rio_toa_spark.operators import toa
     from rio_toa_spark.operators.dedup import exact_dedup, ngram_jaccard_pairs
-    from rio_toa_spark.operators.similarity import cosine_topk
+    from rio_toa_spark.operators.similarity import cosine_topk, cosine_topk_ivf
     from rio_toa_spark.operators.spatial_join import (
         knn_join,
         pip_join,
@@ -158,9 +159,7 @@ def build_queries(spark, sf_dir):
         # the ANN scale path: probes n_probe/n_centroids of the corpus
         # per query instead of all of it
         "ann_ivf": (
-            lambda: __import__("rio_toa_spark.operators.similarity", fromlist=["x"]).cosine_topk_ivf(
-                emb, q_emb, k=10, n_centroids=32, n_probe=4
-            ),
+            lambda: cosine_topk_ivf(emb, q_emb, k=10, n_centroids=32, n_probe=4),
             {},
         ),
         "agg_pricing": (lambda: entry_mod._q_agg_pricing(spark, sf_dir), {}),

@@ -42,10 +42,16 @@ def radiance(dn: np.ndarray, ml, al, src_nodata=0) -> np.ndarray:
     """
     # in-place on the astype copy: `out *= ml` is bitwise-identical to
     # `ml * out` (IEEE multiply commutes; python-float scalar keeps the
-    # f32 dtype) while avoiding two full-buffer temporaries
-    out = dn.astype(np.float32)
-    out *= ml
-    out += al
+    # f32 dtype) while avoiding two full-buffer temporaries. ONLY valid
+    # for plain python scalars — a list or np.float64 coefficient must
+    # keep the documented value-based upcast to f64, which an in-place
+    # f32 op would silently round away.
+    if type(ml) in (int, float) and type(al) in (int, float):
+        out = dn.astype(np.float32)
+        out *= ml
+        out += al
+    else:
+        out = ml * dn.astype(np.float32) + al
     if src_nodata is not None:
         out[dn == src_nodata] = 0.0
     return out

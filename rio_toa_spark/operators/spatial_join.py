@@ -302,6 +302,8 @@ def _knn_broadcast(points_df, tiles, k, lon, lat, point_key):
         tids, tx, ty = bc.value
         tid_arr = np.array(tids)
         T = len(tids)
+        if T == 0:  # no centroids -> no neighbors (not an error)
+            return
         for pdf in batches:
             px = pdf[lon].to_numpy()[:, None]
             py = pdf[lat].to_numpy()[:, None]

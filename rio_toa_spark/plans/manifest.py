@@ -89,6 +89,10 @@ class ResumableJob:
         os.makedirs(self.manifest_dir, exist_ok=True)
         chunk_id = uuid.uuid4().hex[:12]
         record = {
+            # monotonic commit sequence: committed_at has second
+            # resolution, so same-second commits would otherwise order
+            # randomly by uuid and break read_snapshot's prefix contract
+            "seq": len(self._manifest_records()),
             "chunk_id": chunk_id,
             "partitions": sorted(str(p) for p in partitions),
             "partition_rows": {str(k): v for k, v in partition_rows.items()},
@@ -181,7 +185,10 @@ class ResumableJob:
         """Commit history, oldest first: one record per committed chunk
         (chunk_id, committed_at, partitions) — the Iceberg-snapshot
         analogue over the manifest log."""
-        recs = sorted(self._manifest_records(), key=lambda r: (r["committed_at"], r["chunk_id"]))
+        recs = sorted(
+            self._manifest_records(),
+            key=lambda r: (r.get("seq", 0), r["committed_at"], r["chunk_id"]),
+        )
         return [
             {
                 "chunk_id": r["chunk_id"],

@@ -86,12 +86,15 @@ def geotiff_to_tiles(
     _require_rasterio()  # fail fast on the driver, not inside tasks
 
     specs = [
-        (p, parse_scene(p, scene_template), parse_band(p, band_template))
-        for p in src_paths
+        (i, p, parse_scene(p, scene_template), parse_band(p, band_template))
+        for i, p in enumerate(src_paths)
     ]
-    spec_df = spark.createDataFrame(specs, "path string, scene_id string, band int")
-    # one file per task: files are the unsplittable unit of work
-    spec_df = spec_df.repartition(max(len(specs), 1), "path")
+    spec_df = spark.createDataFrame(specs, "idx int, path string, scene_id string, band int")
+    # one file per task: files are the unsplittable unit of work. Range
+    # partitioning on the sequential index gives exactly one spec per
+    # task — hash partitioning on path would collide (~63% chance of a
+    # 2-file straggler task at N=10).
+    spec_df = spec_df.repartitionByRange(max(len(specs), 1), "idx").drop("idx")
 
     def read_windows(batches):
         import numpy as np  # noqa: F401

@@ -105,6 +105,14 @@ def stream_event_rollup(
     return writer.start()
 
 
+TILES_SCHEMA = (
+    "scene_id string, band int, tile_row int, tile_col int, "
+    "width int, height int, nodata int, "
+    "bounds_w double, bounds_s double, bounds_e double, bounds_n double, "
+    "pixels binary"
+)
+
+
 def stream_toa_radiance(
     spark: SparkSession,
     tiles_source_dir: str,
@@ -113,28 +121,36 @@ def stream_toa_radiance(
     checkpoint_dir: str,
     band: int = 5,
     available_now: bool = True,
+    tiles_schema=None,
     **toa_kwargs,
 ):
     """Incremental TOA: tile-row drops (new scenes landing) stream
     through the UNCHANGED batch radiance operator via foreachBatch —
-    the scenes dim stays a broadcast stream-static join, the Arrow
-    kernel is bitwise-identical to batch, and the checkpoint gives
-    exactly-once parquet output across restarts. foreachBatch is the
-    deliberate shape here: each micro-batch is a complete set of tile
-    rows, so the whole batch plan (partition-pruned scan -> broadcast
-    dim -> mapInArrow, zero shuffle) replays per trigger unchanged."""
+    the scenes dim stays a broadcast stream-static join and the Arrow
+    kernel is bitwise-identical to batch. foreachBatch alone is only
+    at-least-once, so each micro-batch OVERWRITES its own
+    batch_id=<id> partition directory: a batch replayed after a crash
+    between the parquet write and the checkpoint commit rewrites the
+    same directory instead of appending duplicates — idempotent, hence
+    exactly-once end to end. The explicit schema (engine tile shape)
+    means the stream starts fine on an empty landing directory."""
+    import os
+
     from rio_toa_spark.operators import toa
 
-    tiles_schema = spark.read.parquet(tiles_source_dir).schema
     raw = (
-        spark.readStream.schema(tiles_schema)
+        spark.readStream.schema(tiles_schema or TILES_SCHEMA)
         .option("maxFilesPerTrigger", 4)
         .parquet(tiles_source_dir)
     )
 
-    def process(batch_df: DataFrame, _batch_id: int) -> None:
+    def process(batch_df: DataFrame, batch_id: int) -> None:
         out = toa.radiance_tiles(batch_df, scenes_df, band=band, **toa_kwargs)
-        out.write.mode("append").partitionBy("scene_id").parquet(sink_dir)
+        (
+            out.write.mode("overwrite")
+            .partitionBy("scene_id")
+            .parquet(os.path.join(sink_dir, "batch_id=%d" % batch_id))
+        )
 
     writer = (
         raw.writeStream.foreachBatch(process)
