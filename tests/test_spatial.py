@@ -218,3 +218,25 @@ def test_cell_parent_expr_matches_numpy(spark):
     )
     exp = cm.cell_parent(cm.cell_of_points([r[0] for r in rows], [r[1] for r in rows], 8), 2)
     assert [r.p for r in got] == exp.tolist()
+
+
+def test_knn_broadcast_exact_ties_beyond_partition_slice(spark):
+    """All centroids exactly equidistant (integer lattice, d^2 exact in
+    f64): the kth value equals the partition-slice max, forcing the
+    full-sort fallback — ties must resolve to the lowest tile_ids."""
+    pts = spark.createDataFrame([("p", 0.0, 0.0)], "url string, lon double, lat double")
+    ring = [(3, 4), (4, 3), (-3, 4), (-4, 3), (3, -4), (4, -3), (-3, -4), (-4, -3),
+            (0, 5), (5, 0), (0, -5), (-5, 0), (3, 4), (4, 3), (-3, 4), (-4, 3)]
+    cents = spark.createDataFrame(
+        [("t%02d" % i, float(x), float(y)) for i, (x, y) in enumerate(ring)],
+        "tile_id string, cx double, cy double",
+    )
+    out = sj.knn_centroids(pts, cents, k=3, strategy="broadcast").collect()
+    assert [r.tile_id for r in sorted(out, key=lambda r: r.rank)] == ["t00", "t01", "t02"]
+    assert all(r.dist == 5.0 for r in out)
+
+
+def test_knn_broadcast_empty_centroids(spark):
+    pts = spark.createDataFrame([("p", 0.0, 0.0)], "url string, lon double, lat double")
+    cents = spark.createDataFrame([], "tile_id string, cx double, cy double")
+    assert sj.knn_centroids(pts, cents, k=3, strategy="broadcast").count() == 0
