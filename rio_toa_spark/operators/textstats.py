@@ -19,12 +19,18 @@ from pyspark.sql import functions as F
 
 TOKEN_RE = r"([A-Za-z0-9]+)"
 
-# n-gram heuristic language profiles: high-frequency function words.
+# n-gram heuristic language profiles: high-frequency function words
+# (ASCII-only: the tokenizer is [A-Za-z0-9]+, so accented forms would
+# split; scripts outside Latin need a different tokenizer and are out
+# of scope for this heuristic).
 LANG_PROFILES = {
     "en": ["the", "and", "of", "to", "in", "is", "that", "it", "was", "for"],
     "de": ["der", "die", "und", "das", "ist", "nicht", "ein", "mit", "sich", "auf"],
     "fr": ["le", "la", "et", "les", "des", "est", "une", "dans", "que", "pour"],
     "es": ["el", "la", "que", "de", "los", "una", "es", "por", "con", "para"],
+    "it": ["che", "di", "per", "non", "con", "sono", "della", "anche", "come", "nel"],
+    "pt": ["de", "que", "para", "com", "uma", "por", "mais", "como", "mas", "dos"],
+    "nl": ["het", "een", "van", "dat", "niet", "met", "voor", "zijn", "maar", "ook"],
 }
 
 

@@ -197,3 +197,20 @@ def test_lsh_max_bucket_skips_degenerate_buckets(spark, docs):
     full = dedup.ngram_jaccard_pairs(clones, threshold=0.9)
     assert capped.count() == 0
     assert full.count() == 4 * (30 * 29) // 2
+
+
+def test_detect_language_known_snippets(spark):
+    from rio_toa_spark.operators import textstats
+
+    samples = [
+        (1, "the cat sat on the mat and it was happy for the day", "en"),
+        (2, "der hund ist nicht mit der katze auf das sofa", "de"),
+        (3, "le chat est dans les jardins pour la nuit et les fleurs", "fr"),
+        (4, "el perro es de los gatos que por una casa con para", "es"),
+        (5, "che cosa sono per non con della anche come nel tempo", "it"),
+        (6, "de casa que para com uma por mais como mas dos livros", "pt"),
+        (7, "het huis is een van dat niet met voor zijn maar ook", "nl"),
+    ]
+    df = spark.createDataFrame([(i, t) for i, t, _ in samples], "doc_id int, text string")
+    got = {r.doc_id: r.lang_pred for r in textstats.detect_language(df).collect()}
+    assert got == {i: want for i, _, want in samples}
