@@ -1,0 +1,464 @@
+"""Minimal pure-numpy baseline JPEG codec so the multimodal decode
+seam exercises a GENUINE JPEG decode in this container (no
+PIL/libjpeg available) — the JPEG sibling of functions/png.py.
+
+Decoder: baseline sequential DCT (SOF0), 8-bit, grayscale or YCbCr
+with 4:4:4 / 4:2:0 / 4:2:2 sampling, restart markers honored.
+Encoder: 4:4:4 (or grayscale), Annex K tables scaled by a quality
+factor — exists so tests can mint real JPEG payloads in an
+environment with no other JPEG producer.
+
+The lossiness of JPEG means round-trips are asserted by PSNR, not
+bitwise; the decoder is additionally pinned by spec-level fixtures
+(hand-assembled DC-only streams with known pixel values) in
+tests/test_jpeg.py so encoder and decoder bugs cannot cancel.
+"""
+
+from __future__ import annotations
+
+import struct
+
+import numpy as np
+
+JPEG_SIGNATURE = b"\xff\xd8\xff"
+
+# ITU-T T.81 Annex K quantization tables (luma, chroma), natural order
+_K1_LUMA = np.array(
+    [
+        16, 11, 10, 16, 24, 40, 51, 61,
+        12, 12, 14, 19, 26, 58, 60, 55,
+        14, 13, 16, 24, 40, 57, 69, 56,
+        14, 17, 22, 29, 51, 87, 80, 62,
+        18, 22, 37, 56, 68, 109, 103, 77,
+        24, 35, 55, 64, 81, 104, 113, 92,
+        49, 64, 78, 87, 103, 121, 120, 101,
+        72, 92, 95, 98, 112, 100, 103, 99,
+    ],
+    dtype=np.int32,
+).reshape(8, 8)
+_K2_CHROMA = np.array(
+    [
+        17, 18, 24, 47, 99, 99, 99, 99,
+        18, 21, 26, 66, 99, 99, 99, 99,
+        24, 26, 56, 99, 99, 99, 99, 99,
+        47, 66, 99, 99, 99, 99, 99, 99,
+        99, 99, 99, 99, 99, 99, 99, 99,
+        99, 99, 99, 99, 99, 99, 99, 99,
+        99, 99, 99, 99, 99, 99, 99, 99,
+        99, 99, 99, 99, 99, 99, 99, 99,
+    ],
+    dtype=np.int32,
+).reshape(8, 8)
+
+# zigzag scan order: _ZIGZAG[k] = (row, col) of the k-th coefficient
+_ZZ = np.array(
+    [
+        0, 1, 8, 16, 9, 2, 3, 10, 17, 24, 32, 25, 18, 11, 4, 5,
+        12, 19, 26, 33, 40, 48, 41, 34, 27, 20, 13, 6, 7, 14, 21, 28,
+        35, 42, 49, 56, 57, 50, 43, 36, 29, 22, 15, 23, 30, 37, 44, 51,
+        58, 59, 52, 45, 38, 31, 39, 46, 53, 60, 61, 54, 47, 55, 62, 63,
+    ],
+    dtype=np.int64,
+)
+
+# Annex K typical Huffman tables: (bits counts per length 1..16, values)
+_DC_LUMA = ([0, 1, 5, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0, 0, 0], list(range(12)))
+_DC_CHROMA = ([0, 3, 1, 1, 1, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0], list(range(12)))
+_AC_LUMA = (
+    [0, 2, 1, 3, 3, 2, 4, 3, 5, 5, 4, 4, 0, 0, 1, 0x7D],
+    [
+        0x01, 0x02, 0x03, 0x00, 0x04, 0x11, 0x05, 0x12, 0x21, 0x31, 0x41, 0x06,
+        0x13, 0x51, 0x61, 0x07, 0x22, 0x71, 0x14, 0x32, 0x81, 0x91, 0xA1, 0x08,
+        0x23, 0x42, 0xB1, 0xC1, 0x15, 0x52, 0xD1, 0xF0, 0x24, 0x33, 0x62, 0x72,
+        0x82, 0x09, 0x0A, 0x16, 0x17, 0x18, 0x19, 0x1A, 0x25, 0x26, 0x27, 0x28,
+        0x29, 0x2A, 0x34, 0x35, 0x36, 0x37, 0x38, 0x39, 0x3A, 0x43, 0x44, 0x45,
+        0x46, 0x47, 0x48, 0x49, 0x4A, 0x53, 0x54, 0x55, 0x56, 0x57, 0x58, 0x59,
+        0x5A, 0x63, 0x64, 0x65, 0x66, 0x67, 0x68, 0x69, 0x6A, 0x73, 0x74, 0x75,
+        0x76, 0x77, 0x78, 0x79, 0x7A, 0x83, 0x84, 0x85, 0x86, 0x87, 0x88, 0x89,
+        0x8A, 0x92, 0x93, 0x94, 0x95, 0x96, 0x97, 0x98, 0x99, 0x9A, 0xA2, 0xA3,
+        0xA4, 0xA5, 0xA6, 0xA7, 0xA8, 0xA9, 0xAA, 0xB2, 0xB3, 0xB4, 0xB5, 0xB6,
+        0xB7, 0xB8, 0xB9, 0xBA, 0xC2, 0xC3, 0xC4, 0xC5, 0xC6, 0xC7, 0xC8, 0xC9,
+        0xCA, 0xD2, 0xD3, 0xD4, 0xD5, 0xD6, 0xD7, 0xD8, 0xD9, 0xDA, 0xE1, 0xE2,
+        0xE3, 0xE4, 0xE5, 0xE6, 0xE7, 0xE8, 0xE9, 0xEA, 0xF1, 0xF2, 0xF3, 0xF4,
+        0xF5, 0xF6, 0xF7, 0xF8, 0xF9, 0xFA,
+    ],
+)
+_AC_CHROMA = (
+    [0, 2, 1, 2, 4, 4, 3, 4, 7, 5, 4, 4, 0, 1, 2, 0x77],
+    [
+        0x00, 0x01, 0x02, 0x03, 0x11, 0x04, 0x05, 0x21, 0x31, 0x06, 0x12, 0x41,
+        0x51, 0x07, 0x61, 0x71, 0x13, 0x22, 0x32, 0x81, 0x08, 0x14, 0x42, 0x91,
+        0xA1, 0xB1, 0xC1, 0x09, 0x23, 0x33, 0x52, 0xF0, 0x15, 0x62, 0x72, 0xD1,
+        0x0A, 0x16, 0x24, 0x34, 0xE1, 0x25, 0xF1, 0x17, 0x18, 0x19, 0x1A, 0x26,
+        0x27, 0x28, 0x29, 0x2A, 0x35, 0x36, 0x37, 0x38, 0x39, 0x3A, 0x43, 0x44,
+        0x45, 0x46, 0x47, 0x48, 0x49, 0x4A, 0x53, 0x54, 0x55, 0x56, 0x57, 0x58,
+        0x59, 0x5A, 0x63, 0x64, 0x65, 0x66, 0x67, 0x68, 0x69, 0x6A, 0x73, 0x74,
+        0x75, 0x76, 0x77, 0x78, 0x79, 0x7A, 0x82, 0x83, 0x84, 0x85, 0x86, 0x87,
+        0x88, 0x89, 0x8A, 0x92, 0x93, 0x94, 0x95, 0x96, 0x97, 0x98, 0x99, 0x9A,
+        0xA2, 0xA3, 0xA4, 0xA5, 0xA6, 0xA7, 0xA8, 0xA9, 0xAA, 0xB2, 0xB3, 0xB4,
+        0xB5, 0xB6, 0xB7, 0xB8, 0xB9, 0xBA, 0xC2, 0xC3, 0xC4, 0xC5, 0xC6, 0xC7,
+        0xC8, 0xC9, 0xCA, 0xD2, 0xD3, 0xD4, 0xD5, 0xD6, 0xD7, 0xD8, 0xD9, 0xDA,
+        0xE2, 0xE3, 0xE4, 0xE5, 0xE6, 0xE7, 0xE8, 0xE9, 0xEA, 0xF2, 0xF3, 0xF4,
+        0xF5, 0xF6, 0xF7, 0xF8, 0xF9, 0xFA,
+    ],
+)
+
+# 8x8 DCT-II orthonormal basis: block = _DCT_M @ coef @ _DCT_M.T is the
+# inverse transform for coefficients laid out [v, u]
+_DCT_M = np.zeros((8, 8))
+for _x in range(8):
+    for _u in range(8):
+        _c = np.sqrt(0.125) if _u == 0 else 0.5
+        _DCT_M[_x, _u] = _c * np.cos((2 * _x + 1) * _u * np.pi / 16.0)
+
+
+def _build_codes(bits, values):
+    """(length -> count, values) -> {(length, code): value}."""
+    table = {}
+    code = 0
+    k = 0
+    for length in range(1, 17):
+        for _ in range(bits[length - 1]):
+            table[(length, code)] = values[k]
+            code += 1
+            k += 1
+        code <<= 1
+    return table
+
+
+def _encode_codes(bits, values):
+    """symbol -> (code, length) for the encoder."""
+    dec = _build_codes(bits, values)
+    return {v: (code, length) for (length, code), v in dec.items()}
+
+
+class _BitReader:
+    """MSB-first bit reader over entropy-coded data with 0xFF00 byte
+    unstuffing; restart markers are handled by the caller via align()."""
+
+    def __init__(self, data: bytes, pos: int):
+        self.data = data
+        self.pos = pos
+        self.bitbuf = 0
+        self.nbits = 0
+
+    def _fill(self):
+        while self.nbits <= 24:
+            if self.pos >= len(self.data):
+                self.bitbuf = (self.bitbuf << 8) | 0
+                self.nbits += 8
+                continue
+            b = self.data[self.pos]
+            if b == 0xFF:
+                nxt = self.data[self.pos + 1] if self.pos + 1 < len(self.data) else 0xD9
+                if nxt == 0x00:
+                    self.pos += 2
+                    self.bitbuf = (self.bitbuf << 8) | 0xFF
+                    self.nbits += 8
+                    continue
+                # a marker: stop feeding real bytes (pad with zeros)
+                self.bitbuf = self.bitbuf << 8
+                self.nbits += 8
+                continue
+            self.pos += 1
+            self.bitbuf = (self.bitbuf << 8) | b
+            self.nbits += 8
+
+    def read_bit(self) -> int:
+        if self.nbits == 0:
+            self._fill()
+        self.nbits -= 1
+        return (self.bitbuf >> self.nbits) & 1
+
+    def read_bits(self, n: int) -> int:
+        v = 0
+        for _ in range(n):
+            v = (v << 1) | self.read_bit()
+        return v
+
+    def align_to_marker(self):
+        """Skip to just past the next marker (restart interval)."""
+        self.bitbuf = 0
+        self.nbits = 0
+        d = self.data
+        while self.pos + 1 < len(d) and not (d[self.pos] == 0xFF and d[self.pos + 1] != 0x00):
+            self.pos += 1
+        self.pos += 2  # past FFDn
+
+
+def _decode_huff(reader: _BitReader, table) -> int:
+    code = 0
+    for length in range(1, 17):
+        code = (code << 1) | reader.read_bit()
+        if (length, code) in table:
+            return table[(length, code)]
+    raise ValueError("invalid JPEG huffman stream")
+
+
+def _extend(v: int, t: int) -> int:
+    """DIFF/coefficient magnitude extension (T.81 F.2.2.1)."""
+    if t == 0:
+        return 0
+    return v if v >= (1 << (t - 1)) else v - (1 << t) + 1
+
+
+def decode_jpeg(data: bytes) -> np.ndarray:
+    """Baseline JPEG bytes -> uint8 (H, W, C) array, C = 1 or 3."""
+    if data[:2] != b"\xff\xd8":
+        raise ValueError("not a JPEG (missing SOI)")
+    qt: dict[int, np.ndarray] = {}
+    huff: dict[tuple[int, int], dict] = {}  # (class 0=DC/1=AC, id) -> table
+    comps = []  # (id, h, v, tq)
+    width = height = 0
+    restart_interval = 0
+    pos = 2
+    while pos < len(data):
+        if data[pos] != 0xFF:
+            pos += 1
+            continue
+        marker = data[pos + 1]
+        pos += 2
+        if marker in (0xD8, 0x01) or 0xD0 <= marker <= 0xD7:
+            continue
+        if marker == 0xD9:  # EOI
+            break
+        seg_len = struct.unpack(">H", data[pos : pos + 2])[0]
+        seg = data[pos + 2 : pos + seg_len]
+        if marker == 0xDB:  # DQT
+            p = 0
+            while p < len(seg):
+                pq, tq = seg[p] >> 4, seg[p] & 0xF
+                p += 1
+                if pq:
+                    vals = np.frombuffer(seg[p : p + 128], dtype=">u2").astype(np.int32)
+                    p += 128
+                else:
+                    vals = np.frombuffer(seg[p : p + 64], dtype=np.uint8).astype(np.int32)
+                    p += 64
+                table = np.zeros(64, dtype=np.int32)
+                table[_ZZ] = vals
+                qt[tq] = table.reshape(8, 8)
+        elif marker == 0xC0:  # SOF0 baseline
+            height, width = struct.unpack(">HH", seg[1:5])
+            n = seg[5]
+            for i in range(n):
+                cid, hv, tq = seg[6 + 3 * i], seg[7 + 3 * i], seg[8 + 3 * i]
+                comps.append((cid, hv >> 4, hv & 0xF, tq))
+        elif marker in (0xC1, 0xC2, 0xC3):
+            raise ValueError("only baseline sequential JPEG (SOF0) is supported")
+        elif marker == 0xC4:  # DHT
+            p = 0
+            while p < len(seg):
+                tc, th = seg[p] >> 4, seg[p] & 0xF
+                bits = list(seg[p + 1 : p + 17])
+                nvals = sum(bits)
+                values = list(seg[p + 17 : p + 17 + nvals])
+                huff[(tc, th)] = _build_codes(bits, values)
+                p += 17 + nvals
+        elif marker == 0xDD:  # DRI
+            restart_interval = struct.unpack(">H", seg[:2])[0]
+        elif marker == 0xDA:  # SOS — entropy data follows
+            ns = seg[0]
+            scan = []  # (comp_idx, dc_table, ac_table)
+            for i in range(ns):
+                cid, tables = seg[1 + 2 * i], seg[2 + 2 * i]
+                idx = next(j for j, c in enumerate(comps) if c[0] == cid)
+                scan.append((idx, tables >> 4, tables & 0xF))
+            reader = _BitReader(data, pos + seg_len)
+            return _decode_scan(
+                reader, comps, scan, qt, huff, width, height, restart_interval
+            )
+        pos += seg_len
+    raise ValueError("no SOS segment in JPEG stream")
+
+
+def _decode_scan(reader, comps, scan, qt, huff, width, height, restart_interval):
+    hmax = max(c[1] for c in comps)
+    vmax = max(c[2] for c in comps)
+    mcux = -(-width // (8 * hmax))
+    mcuy = -(-height // (8 * vmax))
+    planes = []
+    for cid, h, v, tq in comps:
+        planes.append(np.zeros((mcuy * v * 8, mcux * h * 8), dtype=np.float64))
+    pred = [0] * len(comps)
+    mcu_count = 0
+    for my in range(mcuy):
+        for mx in range(mcux):
+            if restart_interval and mcu_count and mcu_count % restart_interval == 0:
+                reader.align_to_marker()
+                pred = [0] * len(comps)
+            mcu_count += 1
+            for comp_idx, tdc, tac in scan:
+                cid, h, v, tq = comps[comp_idx]
+                for by in range(v):
+                    for bx in range(h):
+                        coef = np.zeros(64, dtype=np.float64)
+                        t = _decode_huff(reader, huff[(0, tdc)])
+                        diff = _extend(reader.read_bits(t), t)
+                        pred[comp_idx] += diff
+                        coef[0] = pred[comp_idx]
+                        k = 1
+                        while k < 64:
+                            rs = _decode_huff(reader, huff[(1, tac)])
+                            r, s = rs >> 4, rs & 0xF
+                            if s == 0:
+                                if r == 15:
+                                    k += 16
+                                    continue
+                                break  # EOB
+                            k += r
+                            coef[k] = _extend(reader.read_bits(s), s)
+                            k += 1
+                        block = coef[np.argsort(_ZZ)].reshape(8, 8) * qt[tq]
+                        # coef order after zigzag inversion is [v, u]
+                        px = _DCT_M @ block @ _DCT_M.T + 128.0
+                        y0 = (my * v + by) * 8
+                        x0 = (mx * h + bx) * 8
+                        planes[comp_idx][y0 : y0 + 8, x0 : x0 + 8] = px
+    # upsample each plane to full MCU-grid resolution, crop, color-convert
+    out_planes = []
+    for (cid, h, v, tq), plane in zip(comps, planes):
+        if h != hmax or v != vmax:
+            plane = np.repeat(np.repeat(plane, vmax // v, axis=0), hmax // h, axis=1)
+        out_planes.append(plane[:height, :width])
+    if len(out_planes) == 1:
+        y = np.clip(np.round(out_planes[0]), 0, 255).astype(np.uint8)
+        return y[:, :, None]
+    y, cb, cr = out_planes[0], out_planes[1] - 128.0, out_planes[2] - 128.0
+    r = y + 1.402 * cr
+    g = y - 0.344136 * cb - 0.714136 * cr
+    b = y + 1.772 * cb
+    rgb = np.stack([r, g, b], axis=2)
+    return np.clip(np.round(rgb), 0, 255).astype(np.uint8)
+
+
+# --------------------------------------------------------------- encoder
+
+
+class _BitWriter:
+    def __init__(self):
+        self.out = bytearray()
+        self.acc = 0
+        self.nacc = 0
+
+    def write(self, code: int, length: int):
+        for i in range(length - 1, -1, -1):
+            self.acc = (self.acc << 1) | ((code >> i) & 1)
+            self.nacc += 1
+            if self.nacc == 8:
+                self.out.append(self.acc)
+                if self.acc == 0xFF:
+                    self.out.append(0x00)  # byte stuffing
+                self.acc = 0
+                self.nacc = 0
+
+    def flush(self):
+        while self.nacc:
+            self.write(1, 1)  # pad with 1-bits per spec
+
+
+def _quality_scale(table: np.ndarray, quality: int) -> np.ndarray:
+    quality = min(max(quality, 1), 100)
+    s = 5000 // quality if quality < 50 else 200 - 2 * quality
+    out = (table * s + 50) // 100
+    return np.clip(out, 1, 255).astype(np.int32)
+
+
+def _encode_block(bw, block, q, dc_codes, ac_codes, pred):
+    coef = _DCT_M.T @ (block - 128.0) @ _DCT_M
+    # coefficients are [v, u]; quantize then zigzag
+    qc = np.round(coef / q).astype(np.int64)
+    zz = qc.reshape(-1)[_ZZ]
+    diff = int(zz[0]) - pred
+    t = int(diff).bit_length() if diff else 0
+    code, length = dc_codes[t]
+    bw.write(code, length)
+    if t:
+        v = diff if diff > 0 else diff + (1 << t) - 1
+        bw.write(v & ((1 << t) - 1), t)
+    run = 0
+    last_nz = np.nonzero(zz[1:])[0]
+    end = (last_nz[-1] + 2) if last_nz.size else 1
+    for k in range(1, end):
+        c = int(zz[k])
+        if c == 0:
+            run += 1
+            continue
+        while run > 15:
+            code, length = ac_codes[0xF0]
+            bw.write(code, length)
+            run -= 16
+        s = abs(c).bit_length()
+        code, length = ac_codes[(run << 4) | s]
+        bw.write(code, length)
+        v = c if c > 0 else c + (1 << s) - 1
+        bw.write(v & ((1 << s) - 1), s)
+        run = 0
+    if end < 64:
+        code, length = ac_codes[0x00]
+        bw.write(code, length)
+    return int(zz[0])
+
+
+def encode_jpeg(arr: np.ndarray, quality: int = 85) -> bytes:
+    """uint8 (H, W), (H, W, 1) or (H, W, 3) -> baseline JPEG bytes
+    (4:4:4, Annex K tables scaled by quality)."""
+    arr = np.asarray(arr, dtype=np.uint8)
+    if arr.ndim == 2:
+        arr = arr[:, :, None]
+    h, w, c = arr.shape
+    if c not in (1, 3):
+        raise ValueError("JPEG encoder supports 1 or 3 channels, got %d" % c)
+    ql = _quality_scale(_K1_LUMA, quality)
+    qc = _quality_scale(_K2_CHROMA, quality)
+
+    def seg(marker, payload):
+        return bytes([0xFF, marker]) + struct.pack(">H", len(payload) + 2) + payload
+
+    out = bytearray(b"\xff\xd8")
+    out += seg(0xDB, bytes([0]) + bytes(ql.reshape(-1)[_ZZ].astype(np.uint8)))
+    if c == 3:
+        out += seg(0xDB, bytes([1]) + bytes(qc.reshape(-1)[_ZZ].astype(np.uint8)))
+    sof = bytearray([8]) + struct.pack(">HH", h, w) + bytes([c])
+    for i in range(c):
+        sof += bytes([i + 1, 0x11, 0 if i == 0 else 1])
+    out += seg(0xC0, bytes(sof))
+    for tc, th, (bits, values) in (
+        (0, 0, _DC_LUMA), (1, 0, _AC_LUMA), (0, 1, _DC_CHROMA), (1, 1, _AC_CHROMA)
+    )[: 2 if c == 1 else 4]:
+        out += seg(0xC4, bytes([tc << 4 | th]) + bytes(bits) + bytes(values))
+    sos = bytearray([c])
+    for i in range(c):
+        sos += bytes([i + 1, 0x00 if i == 0 else 0x11])
+    sos += bytes([0, 63, 0])
+    out += seg(0xDA, bytes(sos))
+
+    if c == 3:
+        f = arr.astype(np.float64)
+        y = 0.299 * f[..., 0] + 0.587 * f[..., 1] + 0.114 * f[..., 2]
+        cb = -0.168736 * f[..., 0] - 0.331264 * f[..., 1] + 0.5 * f[..., 2] + 128.0
+        cr = 0.5 * f[..., 0] - 0.418688 * f[..., 1] - 0.081312 * f[..., 2] + 128.0
+        planes = [(y, ql, 0), (cb, qc, 1), (cr, qc, 1)]
+    else:
+        planes = [(arr[..., 0].astype(np.float64), ql, 0)]
+
+    # pad every plane to a multiple of 8 by edge replication
+    ph, pw = -(-h // 8) * 8, -(-w // 8) * 8
+    padded = []
+    for p, q, tid in planes:
+        p = np.pad(p, ((0, ph - h), (0, pw - w)), mode="edge")
+        padded.append((p, q, tid))
+
+    dc_codes = [_encode_codes(*_DC_LUMA), _encode_codes(*_DC_CHROMA)]
+    ac_codes = [_encode_codes(*_AC_LUMA), _encode_codes(*_AC_CHROMA)]
+    bw = _BitWriter()
+    pred = [0] * len(padded)
+    for by in range(ph // 8):
+        for bx in range(pw // 8):
+            for i, (p, q, tid) in enumerate(padded):
+                block = p[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8]
+                pred[i] = _encode_block(bw, block, q, dc_codes[tid], ac_codes[tid], pred[i])
+    bw.flush()
+    out += bw.out
+    out += b"\xff\xd9"
+    return bytes(out)

@@ -83,11 +83,12 @@ _DECODED_FIELDS = [
 def decode_image(df: DataFrame, payload: str = "payload", key: str = "media_id") -> DataFrame:
     """binary -> decoded uint8 HWC buffer.
 
-    PNG payloads (signature-sniffed) take a GENUINE decode through the
-    pure-numpy codec in functions/png.py (zlib inflate + scanline
-    unfilter); other formats fall back to the documented deterministic
-    stub until their codecs exist in the container (PIL plugs into the
-    same mapInPandas shape when importable)."""
+    PNG and baseline JPEG payloads (signature-sniffed) take GENUINE
+    decodes through the pure-numpy codecs in functions/{png,jpeg}.py;
+    other formats fall back to the documented deterministic stub until
+    their codecs exist in the container (PIL plugs into the same
+    mapInPandas shape when importable; video stays stubbed)."""
+    from rio_toa_spark.functions.jpeg import JPEG_SIGNATURE, decode_jpeg
     from rio_toa_spark.functions.png import PNG_SIGNATURE, decode_png
 
     schema = T.StructType([df.schema[key]] + _DECODED_FIELDS)
@@ -95,6 +96,11 @@ def decode_image(df: DataFrame, payload: str = "payload", key: str = "media_id")
     def _decode_one(p: bytes) -> np.ndarray:
         if bytes(p[:8]) == PNG_SIGNATURE:
             return decode_png(bytes(p))
+        if bytes(p[:3]) == JPEG_SIGNATURE:
+            try:
+                return decode_jpeg(bytes(p))
+            except ValueError:
+                pass  # non-baseline JPEG: PIL (if present) or the stub
         if _HAVE_PIL:  # pragma: no cover
             # real decoder path for JPEG & friends when PIL exists in
             # the environment; anything PIL can't parse (e.g. the
