@@ -400,15 +400,21 @@ def _encode_block(bw, block, q, dc_codes, ac_codes, pred):
     return int(zz[0])
 
 
-def encode_jpeg(arr: np.ndarray, quality: int = 85) -> bytes:
+def encode_jpeg(arr: np.ndarray, quality: int = 85, subsampling: str = "444") -> bytes:
     """uint8 (H, W), (H, W, 1) or (H, W, 3) -> baseline JPEG bytes
-    (4:4:4, Annex K tables scaled by quality)."""
+    (Annex K tables scaled by quality; chroma subsampling '444' or
+    '420' — the latter averages 2x2 chroma and interleaves MCUs of
+    four luma blocks + one Cb + one Cr)."""
     arr = np.asarray(arr, dtype=np.uint8)
     if arr.ndim == 2:
         arr = arr[:, :, None]
     h, w, c = arr.shape
     if c not in (1, 3):
         raise ValueError("JPEG encoder supports 1 or 3 channels, got %d" % c)
+    if subsampling not in ("444", "420"):
+        raise ValueError("subsampling must be '444' or '420'")
+    sub2 = c == 3 and subsampling == "420"
+    luma_hv = 0x22 if sub2 else 0x11
     ql = _quality_scale(_K1_LUMA, quality)
     qc = _quality_scale(_K2_CHROMA, quality)
 
@@ -421,7 +427,7 @@ def encode_jpeg(arr: np.ndarray, quality: int = 85) -> bytes:
         out += seg(0xDB, bytes([1]) + bytes(qc.reshape(-1)[_ZZ].astype(np.uint8)))
     sof = bytearray([8]) + struct.pack(">HH", h, w) + bytes([c])
     for i in range(c):
-        sof += bytes([i + 1, 0x11, 0 if i == 0 else 1])
+        sof += bytes([i + 1, luma_hv if i == 0 else 0x11, 0 if i == 0 else 1])
     out += seg(0xC0, bytes(sof))
     for tc, th, (bits, values) in (
         (0, 0, _DC_LUMA), (1, 0, _AC_LUMA), (0, 1, _DC_CHROMA), (1, 1, _AC_CHROMA)
@@ -442,22 +448,45 @@ def encode_jpeg(arr: np.ndarray, quality: int = 85) -> bytes:
     else:
         planes = [(arr[..., 0].astype(np.float64), ql, 0)]
 
-    # pad every plane to a multiple of 8 by edge replication
-    ph, pw = -(-h // 8) * 8, -(-w // 8) * 8
-    padded = []
-    for p, q, tid in planes:
-        p = np.pad(p, ((0, ph - h), (0, pw - w)), mode="edge")
-        padded.append((p, q, tid))
-
     dc_codes = [_encode_codes(*_DC_LUMA), _encode_codes(*_DC_CHROMA)]
     ac_codes = [_encode_codes(*_AC_LUMA), _encode_codes(*_AC_CHROMA)]
     bw = _BitWriter()
-    pred = [0] * len(padded)
-    for by in range(ph // 8):
-        for bx in range(pw // 8):
-            for i, (p, q, tid) in enumerate(padded):
-                block = p[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8]
-                pred[i] = _encode_block(bw, block, q, dc_codes[tid], ac_codes[tid], pred[i])
+
+    if not sub2:
+        # pad every plane to a multiple of 8 by edge replication
+        ph, pw = -(-h // 8) * 8, -(-w // 8) * 8
+        padded = [
+            (np.pad(p, ((0, ph - h), (0, pw - w)), mode="edge"), q, tid)
+            for p, q, tid in planes
+        ]
+        pred = [0] * len(padded)
+        for by in range(ph // 8):
+            for bx in range(pw // 8):
+                for i, (p, q, tid) in enumerate(padded):
+                    block = p[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8]
+                    pred[i] = _encode_block(bw, block, q, dc_codes[tid], ac_codes[tid], pred[i])
+    else:
+        # 4:2:0 MCU = four 8x8 luma blocks + one 8x8 Cb + one 8x8 Cr
+        ph, pw = -(-h // 16) * 16, -(-w // 16) * 16
+        y = np.pad(planes[0][0], ((0, ph - h), (0, pw - w)), mode="edge")
+        chroma = []
+        for p, q, tid in planes[1:]:
+            p = np.pad(p, ((0, ph - h), (0, pw - w)), mode="edge")
+            p = p.reshape(ph // 2, 2, pw // 2, 2).mean(axis=(1, 3))
+            chroma.append(p)
+        pred = [0, 0, 0]
+        for my in range(ph // 16):
+            for mx in range(pw // 16):
+                for by, bx in ((0, 0), (0, 1), (1, 0), (1, 1)):
+                    y0, x0 = my * 16 + by * 8, mx * 16 + bx * 8
+                    pred[0] = _encode_block(
+                        bw, y[y0 : y0 + 8, x0 : x0 + 8], ql, dc_codes[0], ac_codes[0], pred[0]
+                    )
+                for i, p in enumerate(chroma):
+                    y0, x0 = my * 8, mx * 8
+                    pred[i + 1] = _encode_block(
+                        bw, p[y0 : y0 + 8, x0 : x0 + 8], qc, dc_codes[1], ac_codes[1], pred[i + 1]
+                    )
     bw.flush()
     out += bw.out
     out += b"\xff\xd9"

@@ -100,3 +100,19 @@ def test_decode_image_operator_routes_jpeg(spark):
     assert (row.height, row.width, row.channels) == (16, 8, 3)
     got = np.frombuffer(row.pixels, np.uint8).reshape(16, 8, 3)
     assert abs(got.astype(int) - 200).max() <= 4  # flat block, small quant error
+
+
+@pytest.mark.parametrize("shape", [(16, 16), (24, 40), (18, 21)])
+def test_roundtrip_rgb_420_psnr(shape):
+    """4:2:0 exercises the decoder's sampling-factor MCU layout and
+    chroma upsampling."""
+    h, w = shape
+    y, x = np.indices(shape)
+    img = np.stack(
+        [(50 + 2 * x) % 256, (80 + 2 * y) % 256, (90 + x + y) % 256], axis=2
+    ).astype(np.uint8)
+    out = jpeg.decode_jpeg(jpeg.encode_jpeg(img, quality=95, subsampling="420"))
+    assert out.shape == img.shape
+    err = out.astype(np.float64) - img
+    psnr = 10 * np.log10(255.0**2 / max((err**2).mean(), 1e-9))
+    assert psnr > 26.0, psnr
