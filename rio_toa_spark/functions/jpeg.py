@@ -400,11 +400,18 @@ def _encode_block(bw, block, q, dc_codes, ac_codes, pred):
     return int(zz[0])
 
 
-def encode_jpeg(arr: np.ndarray, quality: int = 85, subsampling: str = "444") -> bytes:
+def encode_jpeg(
+    arr: np.ndarray,
+    quality: int = 85,
+    subsampling: str = "444",
+    restart_interval: int = 0,
+) -> bytes:
     """uint8 (H, W), (H, W, 1) or (H, W, 3) -> baseline JPEG bytes
     (Annex K tables scaled by quality; chroma subsampling '444' or
     '420' — the latter averages 2x2 chroma and interleaves MCUs of
-    four luma blocks + one Cb + one Cr)."""
+    four luma blocks + one Cb + one Cr). ``restart_interval`` > 0
+    emits DRI + RSTn markers every that many MCUs (resetting the DC
+    predictors), exercising the decoder's resync path."""
     arr = np.asarray(arr, dtype=np.uint8)
     if arr.ndim == 2:
         arr = arr[:, :, None]
@@ -433,6 +440,8 @@ def encode_jpeg(arr: np.ndarray, quality: int = 85, subsampling: str = "444") ->
         (0, 0, _DC_LUMA), (1, 0, _AC_LUMA), (0, 1, _DC_CHROMA), (1, 1, _AC_CHROMA)
     )[: 2 if c == 1 else 4]:
         out += seg(0xC4, bytes([tc << 4 | th]) + bytes(bits) + bytes(values))
+    if restart_interval:
+        out += seg(0xDD, struct.pack(">H", restart_interval))
     sos = bytearray([c])
     for i in range(c):
         sos += bytes([i + 1, 0x00 if i == 0 else 0x11])
@@ -451,6 +460,19 @@ def encode_jpeg(arr: np.ndarray, quality: int = 85, subsampling: str = "444") ->
     dc_codes = [_encode_codes(*_DC_LUMA), _encode_codes(*_DC_CHROMA)]
     ac_codes = [_encode_codes(*_AC_LUMA), _encode_codes(*_AC_CHROMA)]
     bw = _BitWriter()
+    mcu_state = {"idx": 0, "rst": 0}
+
+    def mcu_boundary(pred):
+        """Emit an RSTn marker (and reset DC predictors) every
+        restart_interval MCUs."""
+        i = mcu_state["idx"]
+        mcu_state["idx"] += 1
+        if restart_interval and i and i % restart_interval == 0:
+            bw.flush()
+            bw.out += bytes([0xFF, 0xD0 + (mcu_state["rst"] % 8)])
+            mcu_state["rst"] += 1
+            for j in range(len(pred)):
+                pred[j] = 0
 
     if not sub2:
         # pad every plane to a multiple of 8 by edge replication
@@ -462,6 +484,7 @@ def encode_jpeg(arr: np.ndarray, quality: int = 85, subsampling: str = "444") ->
         pred = [0] * len(padded)
         for by in range(ph // 8):
             for bx in range(pw // 8):
+                mcu_boundary(pred)
                 for i, (p, q, tid) in enumerate(padded):
                     block = p[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8]
                     pred[i] = _encode_block(bw, block, q, dc_codes[tid], ac_codes[tid], pred[i])
@@ -477,6 +500,7 @@ def encode_jpeg(arr: np.ndarray, quality: int = 85, subsampling: str = "444") ->
         pred = [0, 0, 0]
         for my in range(ph // 16):
             for mx in range(pw // 16):
+                mcu_boundary(pred)
                 for by, bx in ((0, 0), (0, 1), (1, 0), (1, 1)):
                     y0, x0 = my * 16 + by * 8, mx * 16 + bx * 8
                     pred[0] = _encode_block(

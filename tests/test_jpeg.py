@@ -116,3 +116,18 @@ def test_roundtrip_rgb_420_psnr(shape):
     err = out.astype(np.float64) - img
     psnr = 10 * np.log10(255.0**2 / max((err**2).mean(), 1e-9))
     assert psnr > 26.0, psnr
+
+
+@pytest.mark.parametrize("subsampling", ["444", "420"])
+def test_roundtrip_with_restart_markers(subsampling):
+    """DRI/RSTn: predictor resets and bitstream resync must decode to
+    the same image as the marker-free encoding."""
+    y, x = np.indices((32, 48))
+    img = np.stack(
+        [(60 + 2 * x) % 256, (90 + y) % 256, (30 + x + 2 * y) % 256], axis=2
+    ).astype(np.uint8)
+    plain = jpeg.decode_jpeg(jpeg.encode_jpeg(img, quality=92, subsampling=subsampling))
+    rst = jpeg.decode_jpeg(
+        jpeg.encode_jpeg(img, quality=92, subsampling=subsampling, restart_interval=2)
+    )
+    assert (plain == rst).all()  # identical quantized content, markers transparent
