@@ -544,6 +544,63 @@ GROUP BY 1, 2
 """.format(lons=lons, lats=lats, scenes=paths["scenes"], dns=paths["tile_dns"])
 
 
+def _radiance_sql() -> str:
+    # EXACT twin of the binary-pixel radiance pipeline. The kernel is
+    # out = f32(dn); out *= f32(ML); out += f32(AL); out[dn==0] = 0
+    # (functions/kernels.py radiance, clip=False/float32 rescale is the
+    # identity) — pure f32 multiply-add, which DuckDB REAL arithmetic
+    # reproduces bit-for-bit: both engines parse the same MTL JSON
+    # decimal string to the same f64, round it to the same f32, and
+    # REAL*REAL+REAL is the identical IEEE op sequence. bucket uses a
+    # power-of-two scale (1/64) so the f32 multiply is exact; COUNT /
+    # COUNT(DISTINCT) / MIN / MAX over identical f32 value sets are
+    # exact under any order; f32->f64 widening is lossless.
+    paths = _fixture_paths()
+    coef = (
+        "CAST(CAST(json_extract_string(mtl_json, '$.L1_METADATA_FILE"
+        ".RADIOMETRIC_RESCALING.RADIANCE_%s_BAND_5') AS DOUBLE) AS REAL)"
+    )
+    return """
+WITH c AS (
+  SELECT scene_id, {ml} AS ml, {al} AS al FROM read_parquet('{scenes}')
+), r AS (
+  SELECT d.scene_id, d.band,
+    CASE WHEN d.dn = 0 THEN CAST(0.0 AS REAL)
+         ELSE c.ml * CAST(d.dn AS REAL) + c.al END AS v
+  FROM read_parquet('{dns}') d JOIN c USING (scene_id)
+  WHERE d.band = 5
+)
+SELECT scene_id, band,
+  CAST(FLOOR(v * CAST(0.015625 AS REAL)) AS INTEGER) AS bucket,
+  COUNT(*) AS n, COUNT(DISTINCT v) AS ndv,
+  CAST(MIN(v) AS DOUBLE) AS vmin, CAST(MAX(v) AS DOUBLE) AS vmax
+FROM r GROUP BY 1, 2, 3
+""".format(
+        ml=coef % "MULT",
+        al=coef % "ADD",
+        scenes=paths["scenes"],
+        dns=paths["tile_dns"],
+    )
+
+
+def _rgb_stack_sql() -> str:
+    # structural exact twin of the multiband stack: the projection is
+    # all-integer/string (plane count, plane order, summed plane byte
+    # lengths), so SQL recomputes the expectation from the input tile
+    # dims — the distributed reflectance+stack must have produced
+    # EXACTLY three f32 planes of width*height*4 bytes in [4,3,2]
+    # order for every tile. Pixel VALUES are covered bitwise by
+    # tests/test_toa_ops.py (sin has no cross-engine f32 contract).
+    paths = _fixture_paths()
+    return (
+        "SELECT scene_id, tile_row, tile_col, COUNT(*) AS n_planes, "
+        "'4,3,2' AS band_order, "
+        "CAST(SUM(CAST(width AS BIGINT) * height * 4) AS BIGINT) AS stacked_bytes "
+        "FROM read_parquet('%s') WHERE band IN (2, 3, 4) GROUP BY 1, 2, 3"
+        % paths["tiles"]
+    )
+
+
 def _resume_sql() -> str:
     # the manifest's per-partition row counts of a completed radiance
     # job must equal the input's band-5 tile counts per scene — an
@@ -1185,12 +1242,23 @@ _MEDIA_SQL = (
 
 
 def _q_toa_radiance_tiles(spark, sf_dir):
+    # full binary-pixel radiance pipeline with an EXACT SQL twin: the
+    # kernel is pure f32 multiply-add + clip skipped (clip=False,
+    # float32 dst), which DuckDB reproduces bit-for-bit in REAL
+    # arithmetic over the generator's exploded-DN side table. The
+    # value_histogram projection makes every output order-insensitive
+    # and exact (counts + losslessly-widened f32 min/max per bucket),
+    # so the flagship TOA path gets a hash-green driver row instead of
+    # rows-only. (reflectance/brighttemp stay rows-only: sin/log have
+    # no cross-engine bitwise f32 contract; they are verified against
+    # the independent numpy oracle in tests/test_toa_ops.py.)
     from rio_toa_spark.operators import toa
 
     paths = _fixture_paths()
     tiles = spark.read.parquet(paths["tiles"])
     scenes = spark.read.parquet(paths["scenes"])
-    return toa.tile_stats(toa.radiance_tiles(tiles, scenes, band=5))
+    rad = toa.radiance_tiles(tiles, scenes, band=5, clip=False)
+    return toa.value_histogram(rad, bucket_scale=1.0 / 64)
 
 
 def _q_toa_reflectance_pixel_sun(spark, sf_dir):
@@ -1232,7 +1300,7 @@ def _q_toa_rgb_stack(spark, sf_dir):
         "scene_id",
         "tile_row",
         "tile_col",
-        F.size("planes").alias("n_planes"),
+        F.size("planes").cast("long").alias("n_planes"),
         F.array_join(F.transform("bands", lambda b: b.cast("string")), ",").alias("band_order"),
         F.aggregate(
             F.transform("planes", lambda p: F.length(p).cast("long")),
@@ -1647,9 +1715,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # pixel centers + numpy-assembled mosaic hashes)
         "pages_extract_text": _q_pages_extract_text,
         "pages_pip_tiles": _q_pages_pip_tiles,
-        # rows-only (float32 TOA pixel buffers are not SQL-expressible;
-        # they are verified BITWISE against the independent numpy
-        # oracle in tests/test_toa_ops.py instead)
+        # toa_radiance_tiles has an EXACT twin (pure f32 multiply-add
+        # reproduced in DuckDB REAL arithmetic over the exploded-DN
+        # side table); the sin/log TOA pipelines stay rows-only (no
+        # cross-engine bitwise f32 contract for transcendentals) and
+        # are verified BITWISE against the independent numpy oracle in
+        # tests/test_toa_ops.py instead
         "toa_radiance_tiles": _q_toa_radiance_tiles,
         "toa_reflectance_pixel_sun": _q_toa_reflectance_pixel_sun,
         "toa_brighttemp_tiles": _q_toa_brighttemp_tiles,
@@ -1682,6 +1753,8 @@ def oracle_sql() -> dict[str, str]:
             "CAST(n_nationkey - 60 AS DOUBLE) AS al FROM nation"
         ),
         "resume_metrics": _resume_sql(),
+        "toa_radiance_tiles": _radiance_sql(),
+        "toa_rgb_stack": _rgb_stack_sql(),
         "dn_histogram": _dn_hist_sql(),
         "scene_mosaic": _mosaic_sql(),
         "zonal_dn_stats": _zonal_sql(),

@@ -335,6 +335,87 @@ def tile_stats(toa_df: DataFrame) -> DataFrame:
     return toa_df.mapInPandas(run, schema)
 
 
+_HIST_PARTIAL_SCHEMA = T.StructType(
+    [
+        T.StructField("scene_id", T.StringType()),
+        T.StructField("band", T.IntegerType()),
+        T.StructField("bucket", T.IntegerType()),
+        T.StructField("value", T.DoubleType()),
+        T.StructField("n", T.LongType()),
+    ]
+)
+
+
+def value_histogram(toa_df: DataFrame, bucket_scale: float = 1.0 / 64) -> DataFrame:
+    """Order-insensitive EXACT summary of a TOA raster: per
+    (scene, band, bucket) — pixel count, distinct-value count and the
+    min/max pixel value, with bucket = floor(value * bucket_scale)
+    computed in float32.
+
+    Every output is exact under any execution order (integer counts;
+    f32 min/max widened losslessly to f64), which is what makes this
+    the SQL-twinnable projection of a float32 pixel buffer: the DuckDB
+    oracle recomputes the identical f32 values from the fixture
+    generator's exploded-DN side table and must match bit-for-bit.
+    Pick a power-of-two ``bucket_scale`` so the f32 multiply is exact.
+    Non-finite pixels are dropped (radiance/reflectance emit none;
+    brightness_temp NaN-masks nodata — count those via tile_stats).
+
+    Plan shape: per-tile ``np.unique`` partials map-side, then a
+    hash-aggregate keyed (scene, band, bucket, value) whose width is
+    bounded by the value DOMAIN (<= 65536 distinct per scene/band for
+    uint16-sourced rasters), independent of pixel count — so the
+    shuffle stays tiny at 100 TB.
+    """
+    scale = float(bucket_scale)
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        empty = {
+            "scene_id": pd.Series([], dtype=object),
+            "band": pd.Series([], dtype="int32"),
+            "bucket": pd.Series([], dtype="int32"),
+            "value": pd.Series([], dtype="float64"),
+            "n": pd.Series([], dtype="int64"),
+        }
+        for pdf in batches:
+            cols = {k: [] for k in empty}
+            for row in pdf.itertuples(index=False):
+                arr = np.frombuffer(row.pixels, dtype=np.dtype(row.dtype)).ravel()
+                if np.issubdtype(arr.dtype, np.floating):
+                    arr = arr[np.isfinite(arr)]
+                vals, counts = np.unique(arr, return_counts=True)
+                # uint8/uint16 widen exactly into f32 (< 2^24)
+                f32 = vals.astype(np.float32, copy=False)
+                k = len(vals)
+                cols["scene_id"].append(
+                    np.repeat(np.array([row.scene_id], dtype=object), k)
+                )
+                cols["band"].append(np.full(k, row.band, dtype=np.int32))
+                cols["bucket"].append(
+                    np.floor(f32 * scale).astype(np.int32)
+                )
+                cols["value"].append(f32.astype(np.float64))
+                cols["n"].append(counts.astype(np.int64))
+            if not cols["scene_id"]:
+                yield pd.DataFrame(empty)
+                continue
+            yield pd.DataFrame(
+                {k: np.concatenate(v) for k, v in cols.items()}
+            )
+
+    per_value = (
+        toa_df.mapInPandas(run, _HIST_PARTIAL_SCHEMA)
+        .groupBy("scene_id", "band", "bucket", "value")
+        .agg(F.sum("n").alias("n"))
+    )
+    return per_value.groupBy("scene_id", "band", "bucket").agg(
+        F.sum("n").alias("n"),
+        F.count("*").alias("ndv"),
+        F.min("value").alias("vmin"),
+        F.max("value").alias("vmax"),
+    )
+
+
 def mosaic_scene(tiles_like_df: DataFrame) -> DataFrame:
     """Assemble each (scene, band)'s tile grid back into ONE full-scene
     raster row — the engine's form of the reference's single-GeoTIFF

@@ -181,3 +181,47 @@ def test_reflectance_uint16_rescale_55000(spark, tiles_df, scenes_df, fixture_pa
         )
         got = np.frombuffer(row.pixels, dtype=np.uint16).reshape(1, row.height, row.width)
         assert np.array_equal(got, expected)
+
+
+def test_value_histogram_matches_bruteforce(spark, tiles_df, scenes_df, fixture_paths, mtls):
+    # the exact-SQL-twinnable projection: per-(scene, band, bucket)
+    # counts / distinct counts / f32 min-max must equal a brute-force
+    # numpy pass over the same radiance outputs (incl. NaN dropping on
+    # the brighttemp path, tested below via the float guard)
+    rad = toa.radiance_tiles(tiles_df, scenes_df, band=5, clip=False)
+    got = {
+        (r.scene_id, r.band, r.bucket): (r.n, r.ndv, r.vmin, r.vmax)
+        for r in toa.value_histogram(rad, bucket_scale=1.0 / 64).collect()
+    }
+    per_scene: dict[tuple, list[np.ndarray]] = {}
+    for row in rad.collect():
+        arr = np.frombuffer(row.pixels, dtype=np.float32)
+        per_scene.setdefault((row.scene_id, row.band), []).append(arr)
+    expected = {}
+    for (sid, band), chunks in per_scene.items():
+        vals = np.concatenate(chunks)
+        buckets = np.floor(vals * (1.0 / 64)).astype(np.int32)
+        for b in np.unique(buckets):
+            sel = vals[buckets == b]
+            expected[(sid, band, int(b))] = (
+                len(sel),
+                len(np.unique(sel)),
+                float(sel.min()),
+                float(sel.max()),
+            )
+    assert got == expected and len(got) > 0
+
+
+def test_value_histogram_drops_nonfinite(spark, tiles_df, scenes_df):
+    # brighttemp NaN-masks nodata pixels; the histogram must count
+    # only finite values while tile_stats keeps reporting on the rest
+    bt = toa.brightness_temp_tiles(tiles_df, scenes_df, band=10)
+    hist = toa.value_histogram(bt).collect()
+    n_hist = sum(r.n for r in hist)
+    rows = bt.collect()
+    n_finite = sum(
+        int(np.isfinite(np.frombuffer(r.pixels, dtype=np.float32)).sum())
+        for r in rows
+    )
+    n_total = sum(r.height * r.width for r in rows)
+    assert 0 < n_hist == n_finite < n_total
