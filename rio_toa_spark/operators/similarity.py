@@ -132,6 +132,8 @@ def cosine_topk_ivf(
     def assign_lists(batches):
         C = bc.value.T  # (dim, n_centroids)
         for pdf in batches:
+            if not len(pdf):  # np.vstack raises on zero arrays
+                continue
             V = np.vstack(pdf[vec].to_numpy())
             pdf = pdf.copy()
             # argmax of dot products; ties -> lowest list id (argmax
@@ -151,6 +153,8 @@ def cosine_topk_ivf(
     def assign_probes(batches):
         C = bc.value.T
         for pdf in batches:
+            if not len(pdf):  # np.vstack raises on zero arrays
+                continue
             Q = np.vstack(pdf[q_vec].to_numpy())
             order = np.argsort(-(Q @ C), axis=1, kind="stable")[:, :n_probe]
             pdf = pdf.copy()
