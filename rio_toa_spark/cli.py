@@ -7,6 +7,7 @@ via ``spark-submit --py-files``.
     python -m rio_toa_spark.cli brighttemp TILES SCENES DST --band 10 [--temp-scale K]
     python -m rio_toa_spark.cli parsemtl   MTL_TXT_FILE
     python -m rio_toa_spark.cli pipjoin    PAGES SCENES DST [--strategy broadcast]
+    python -m rio_toa_spark.cli dedup      DOCS DST [--threshold 0.8]
 
 TILES/SCENES/PAGES are parquet paths (tables per sources/fixtures
 schemas); DST is a parquet output directory; with --resume it is written
@@ -158,6 +159,26 @@ def cmd_parsemtl(args):
     sys.stdout.write("\n")
 
 
+def cmd_dedup(args):
+    """End-to-end near-duplicate removal: minhash-LSH candidate pairs
+    -> exact Jaccard verify at --threshold -> connected-component
+    clusters -> keep one representative per cluster. Prints the kept /
+    dropped counts as JSON and writes the surviving rows."""
+    from rio_toa_spark.operators.dedup import (
+        drop_duplicates_clustered,
+        ngram_jaccard_pairs,
+    )
+
+    spark = _spark(args)
+    docs = spark.read.parquet(args.docs)
+    # pairs=None fuses LSH candidate generation with the exact verify
+    pairs = ngram_jaccard_pairs(docs, threshold=args.threshold).select("a", "b")
+    kept = drop_duplicates_clustered(docs, pairs)
+    _write(kept, args.dst, (), args=args)
+    n_in, n_kept = docs.count(), kept.count()
+    print(json.dumps({"input": n_in, "kept": n_kept, "dropped": n_in - n_kept}))
+
+
 def cmd_pipjoin(args):
     from rio_toa_spark.operators.spatial_join import pip_join, scene_footprints
 
@@ -235,6 +256,16 @@ def main(argv=None):
     p.add_argument("dst")
     p.add_argument("--tile-size", type=int, default=512)
     p.set_defaults(fn=cmd_ingest)
+
+    p = sub.add_parser(
+        "dedup",
+        help="near-dup removal: LSH -> Jaccard verify -> cluster -> "
+        "keep one representative per cluster",
+    )
+    p.add_argument("docs")
+    p.add_argument("dst")
+    p.add_argument("--threshold", type=float, default=0.8)
+    p.set_defaults(fn=cmd_dedup)
 
     p = sub.add_parser("pipjoin")
     p.add_argument("pages")

@@ -572,3 +572,89 @@ def embedding_near_dups(
         .where(F.col("cosine") >= threshold)
         .select("a", "b", "cosine")
     )
+
+
+def duplicate_clusters(
+    pairs_df: DataFrame,
+    a: str = "a",
+    b: str = "b",
+    max_iter: int = 25,
+) -> DataFrame:
+    """Connected components over a near-duplicate pair graph:
+    (node, cluster_id) with cluster_id = the minimum node id reachable
+    through pair edges — the step that turns LSH/SimHash/embedding
+    PAIRS into duplicate CLUSTERS a pipeline can act on.
+
+    Min-label propagation: every node starts labeled with itself; each
+    round a node adopts the smallest label among itself and its
+    neighbors. Labels travel one hop per round, so rounds needed = the
+    largest component diameter — for near-dup graphs that is tiny
+    (duplicates of one source form near-cliques), while the label
+    table is one row per node APPEARING IN PAIRS (orders of magnitude
+    smaller than the corpus). Each round is one equi-join + one
+    hash-aggregate; ``localCheckpoint`` truncates the growing lineage
+    so round N's plan does not replay rounds 1..N-1 (the classic
+    iterative-DataFrame trap). Raises if not converged by ``max_iter``
+    (an adversarial path graph — raise the cap) rather than returning
+    a silently-partial clustering.
+    """
+    edges = pairs_df.select(F.col(a).alias("src"), F.col(b).alias("dst"))
+    edges = (
+        edges.union(edges.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
+    labels = (
+        edges.select(F.col("src").alias("node"))
+        .distinct()
+        .withColumn("label", F.col("node"))
+        .localCheckpoint(eager=False)
+    )
+    for _ in range(max_iter):
+        neighbor_min = (
+            edges.join(labels, edges.src == labels.node)
+            .groupBy(F.col("dst").alias("node2"))
+            .agg(F.min("label").alias("nlabel"))
+        )
+        joined = labels.join(
+            neighbor_min, labels.node == neighbor_min.node2, "left"
+        ).select(
+            "node",
+            "label",
+            F.least(F.col("label"), F.coalesce("nlabel", "label")).alias("new_label"),
+        )
+        # one pass computes both the new labels and the changed count
+        from pyspark.sql import Observation
+
+        obs = Observation()
+        labels = (
+            joined.observe(
+                obs, F.sum((F.col("new_label") < F.col("label")).cast("long")).alias("changed")
+            )
+            .select("node", F.col("new_label").alias("label"))
+            .localCheckpoint(eager=True)  # materializes -> obs is filled
+        )
+        if obs.get["changed"] == 0:
+            return labels
+    raise ValueError(
+        "duplicate_clusters did not converge in %d rounds — component "
+        "diameter exceeds the cap; raise max_iter" % max_iter
+    )
+
+
+def drop_duplicates_clustered(
+    df: DataFrame,
+    pairs_df: DataFrame,
+    key: str = "doc_id",
+    a: str = "a",
+    b: str = "b",
+) -> DataFrame:
+    """Keep exactly one representative (the min key) of every duplicate
+    cluster and every unpaired row: the end-to-end drop step after any
+    candidate+verify pipeline. Non-representative members are removed
+    with a broadcast-able anti-join on the (small) cluster table."""
+    clusters = duplicate_clusters(pairs_df, a=a, b=b)
+    losers = clusters.where(F.col("node") != F.col("label")).select(
+        F.col("node").alias(key)
+    )
+    return df.join(losers, key, "left_anti")

@@ -173,3 +173,37 @@ def test_cli_resume_refuses_changed_params(spark, fixture_paths, tmp_path, capsy
 def test_cli_rejects_unknown_subcommand():
     with pytest.raises(SystemExit):
         cli.main(["frobnicate"])
+
+
+def test_cli_dedup(spark, tmp_path, capsys):
+    import json as _json
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    # 3 exact-ish duplicates (one token differs), a second pair, and
+    # two singletons -> representatives 1, 10 + the unpaired rows
+    base = "the quick brown fox jumps over the lazy dog again and again"
+    rows = [
+        (1, base), (2, base), (3, base + " extra"),
+        (10, "completely different words live here in this document body"),
+        (11, "completely different words live here in this document body"),
+        (50, "an unrelated singleton document about spark physics"),
+        (51, "another standalone text concerning raster tiles and joins"),
+    ]
+    src = str(tmp_path / "docs.parquet")
+    pq.write_table(
+        pa.table(
+            {
+                "doc_id": pa.array([r[0] for r in rows], pa.int64()),
+                "text": pa.array([r[1] for r in rows], pa.string()),
+            }
+        ),
+        src,
+    )
+    dst = str(tmp_path / "kept")
+    cli.main(["dedup", src, dst, "--threshold", "0.5"])
+    stats = _json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    kept_ids = sorted(pq.read_table(dst).column("doc_id").to_pylist())
+    assert kept_ids == [1, 10, 50, 51]
+    assert stats == {"input": 7, "kept": 4, "dropped": 3}

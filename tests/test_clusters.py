@@ -1,0 +1,80 @@
+"""duplicate_clusters (connected components over near-dup pairs) vs a
+brute-force union-find oracle, incl. a long-chain graph that forces
+multiple propagation rounds and the non-convergence guard."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from rio_toa_spark.operators.dedup import (
+    drop_duplicates_clustered,
+    duplicate_clusters,
+)
+
+
+def _union_find(pairs):
+    parent = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in pairs:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    return {n: find(n) for n in parent}
+
+
+PAIRS = [
+    (1, 2), (2, 3),          # chain -> cluster 1
+    (10, 11),                # pair -> cluster 10
+    (20, 21), (21, 22), (22, 20),  # triangle with cycle -> 20
+    (30, 31), (31, 32), (32, 33), (33, 34),  # longer chain -> 30
+    (41, 40),                # reversed order edge -> 40
+]
+
+
+def test_clusters_match_union_find(spark):
+    pairs = spark.createDataFrame(PAIRS, "a long, b long")
+    got = {r.node: r.label for r in duplicate_clusters(pairs).collect()}
+    assert got == _union_find(PAIRS)
+
+
+def test_clusters_on_lsh_output(spark):
+    # end-to-end: the minhash-LSH pair list of the sf0.001 corpus
+    from rio_toa_spark.operators.dedup import (
+        lsh_candidate_pairs,
+        minhash_signatures,
+    )
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    pairs = lsh_candidate_pairs(minhash_signatures(docs)).select("a", "b")
+    rows = [(r.a, r.b) for r in pairs.collect()]
+    got = {r.node: r.label for r in duplicate_clusters(pairs).collect()}
+    assert got == _union_find(rows) and len(got) > 0
+
+
+def test_drop_duplicates_clustered(spark):
+    df = spark.createDataFrame(
+        [(i, "t%d" % i) for i in [1, 2, 3, 10, 11, 50]], "doc_id long, text string"
+    )
+    pairs = spark.createDataFrame([(1, 2), (2, 3), (10, 11)], "a long, b long")
+    kept = sorted(
+        r.doc_id for r in drop_duplicates_clustered(df, pairs).collect()
+    )
+    # one representative (min id) per cluster + the unpaired row
+    assert kept == [1, 10, 50]
+
+
+def test_clusters_nonconvergence_raises(spark):
+    # a path graph of length 6 cannot converge in 2 rounds
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(6)], "a long, b long"
+    )
+    with pytest.raises(ValueError, match="did not converge"):
+        duplicate_clusters(pairs, max_iter=2)
+    got = {r.node: r.label for r in duplicate_clusters(pairs).collect()}
+    assert set(got.values()) == {0}
