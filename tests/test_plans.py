@@ -164,3 +164,18 @@ def test_fixture_row_groups_splittable(fixture_paths):
 
     md = pq.read_metadata(fixture_paths["tiles"])
     assert md.num_row_groups >= 2
+
+
+def test_value_histogram_partials_before_shuffle(spark, tiles_df, scenes_df):
+    # the per-value partial aggregate must run map-side (partial
+    # HashAggregate before the exchange) so the shuffle width is
+    # bounded by the value domain, not the pixel count
+    from rio_toa_spark.operators import toa
+
+    hist = toa.value_histogram(
+        toa.radiance_tiles(tiles_df, scenes_df, band=5, clip=False)
+    )
+    plan = hist._jdf.queryExecution().executedPlan().toString()
+    first_exchange = plan.index("Exchange hashpartitioning")
+    assert "HashAggregate" in plan[first_exchange:]  # final agg after shuffle
+    assert "HashAggregate" in plan[:first_exchange]  # partial agg before it
