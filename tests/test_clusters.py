@@ -78,3 +78,14 @@ def test_clusters_nonconvergence_raises(spark):
         duplicate_clusters(pairs, max_iter=2)
     got = {r.node: r.label for r in duplicate_clusters(pairs).collect()}
     assert set(got.values()) == {0}
+
+
+def test_pointer_doubling_converges_logarithmically(spark):
+    # a 41-node chain has diameter 40: one-hop propagation alone needs
+    # 40+ rounds; with the pointer-doubling shortcut labels travel
+    # ~2^k hops by round k, so 8 rounds must suffice
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(40)], "a long, b long"
+    )
+    got = {r.node: r.label for r in duplicate_clusters(pairs, max_iter=8).collect()}
+    assert set(got.values()) == {0} and len(got) == 41
