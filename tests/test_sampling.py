@@ -83,3 +83,18 @@ def test_sampling_is_pushdown_filter_no_shuffle(spark, docs):
         ._jdf.queryExecution().executedPlan().toString()
     )
     assert "Exchange" not in plan  # pure map-side filter
+
+
+def test_hash_sample_monotone_in_rate(spark, docs):
+    # same seed: a lower rate selects a SUBSET of a higher rate — the
+    # property that makes sample manifests refinable without resampling
+    small = {r.doc_id for r in hash_sample(docs, 0.1, seed=2).collect()}
+    big = {r.doc_id for r in hash_sample(docs, 0.4, seed=2).collect()}
+    assert small < big
+
+
+def test_seeds_give_independent_draws(spark, docs):
+    a = {r.doc_id for r in hash_sample(docs, 0.5, seed=1).collect()}
+    b = {r.doc_id for r in hash_sample(docs, 0.5, seed=2).collect()}
+    overlap = len(a & b) / max(1, min(len(a), len(b)))
+    assert a != b and 0.2 < overlap < 0.8  # ~rate, not 0 or 1
