@@ -8,6 +8,7 @@ via ``spark-submit --py-files``.
     python -m rio_toa_spark.cli parsemtl   MTL_TXT_FILE
     python -m rio_toa_spark.cli pipjoin    PAGES SCENES DST [--strategy broadcast]
     python -m rio_toa_spark.cli dedup      DOCS DST [--threshold 0.8]
+    python -m rio_toa_spark.cli sample     DOCS DST (--rate R | --mixture dom=w,dom=w)
 
 TILES/SCENES/PAGES are parquet paths (tables per sources/fixtures
 schemas); DST is a parquet output directory; with --resume it is written
@@ -179,6 +180,32 @@ def cmd_dedup(args):
     print(json.dumps({"input": n_in, "kept": n_kept, "dropped": n_in - n_kept}))
 
 
+def cmd_sample(args):
+    """Deterministic curation sampling: --rate keeps a keyed-md5
+    Bernoulli sample; --mixture 'dom=w,dom=w' hits target domain
+    proportions at the largest size the inventory allows. Membership
+    is a pure function of (seed, key): stable across reruns, cluster
+    sizes, and engines (operators/sampling.py)."""
+    from rio_toa_spark.operators.sampling import hash_sample, mixture_sample
+
+    if (args.rate is None) == (args.mixture is None):
+        raise SystemExit("exactly one of --rate / --mixture is required")
+    spark = _spark(args)
+    docs = spark.read.parquet(args.docs)
+    if args.rate is not None:
+        out = hash_sample(docs, args.rate, key=args.key, seed=args.seed)
+    else:
+        weights = {}
+        for part in args.mixture.split(","):
+            dom, w = part.split("=")
+            weights[dom] = float(w)
+        out = mixture_sample(
+            docs, weights, domain=args.domain, key=args.key, seed=args.seed
+        )
+    _write(out, args.dst, (), args=args)
+    print(json.dumps({"input": docs.count(), "kept": out.count()}))
+
+
 def cmd_pipjoin(args):
     from rio_toa_spark.operators.spatial_join import pip_join, scene_footprints
 
@@ -266,6 +293,19 @@ def main(argv=None):
     p.add_argument("dst")
     p.add_argument("--threshold", type=float, default=0.8)
     p.set_defaults(fn=cmd_dedup)
+
+    p = sub.add_parser(
+        "sample",
+        help="deterministic keyed sampling: --rate R or --mixture dom=w,dom=w",
+    )
+    p.add_argument("docs")
+    p.add_argument("dst")
+    p.add_argument("--rate", type=float, default=None)
+    p.add_argument("--mixture", default=None)
+    p.add_argument("--domain", default="source")
+    p.add_argument("--key", default="doc_id")
+    p.add_argument("--seed", type=int, default=0)
+    p.set_defaults(fn=cmd_sample)
 
     p = sub.add_parser("pipjoin")
     p.add_argument("pages")

@@ -207,3 +207,38 @@ def test_cli_dedup(spark, tmp_path, capsys):
     kept_ids = sorted(pq.read_table(dst).column("doc_id").to_pylist())
     assert kept_ids == [1, 10, 50, 51]
     assert stats == {"input": 7, "kept": 4, "dropped": 3}
+
+
+def test_cli_sample_mixture(spark, tmp_path, capsys):
+    import json as _json
+
+    import pyarrow.parquet as pq
+
+    dst = str(tmp_path / "mix")
+    cli.main(
+        [
+            "sample",
+            "/root/testdata/sf0.001/documents.parquet",
+            dst,
+            "--mixture", "src1=2,src2=1",
+        ]
+    )
+    stats = _json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    t = pq.read_table(dst)
+    assert stats["kept"] == t.num_rows > 0
+    assert set(t.column("source").to_pylist()) <= {"src1", "src2"}
+    # determinism: rerun writes the identical row set
+    cli.main(
+        ["sample", "/root/testdata/sf0.001/documents.parquet", dst,
+         "--mixture", "src1=2,src2=1"]
+    )
+    assert sorted(pq.read_table(dst).column("doc_id").to_pylist()) == sorted(
+        t.column("doc_id").to_pylist()
+    )
+
+
+def test_cli_sample_requires_exactly_one_mode(tmp_path):
+    import pytest as _pytest
+
+    with _pytest.raises(SystemExit):
+        cli.main(["sample", "x.parquet", str(tmp_path / "o")])
