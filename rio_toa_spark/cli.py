@@ -170,13 +170,24 @@ def cmd_dedup(args):
         ngram_jaccard_pairs,
     )
 
+    from pyspark.sql import Observation
+    from pyspark.sql import functions as F
+
     spark = _spark(args)
     docs = spark.read.parquet(args.docs)
+    # input count first: a column-pruned scan of the source parquet,
+    # NOT a second run of the dedup pipeline
+    n_in = docs.count()
     # pairs=None fuses LSH candidate generation with the exact verify
     pairs = ngram_jaccard_pairs(docs, threshold=args.threshold).select("a", "b")
     kept = drop_duplicates_clustered(docs, pairs)
-    _write(kept, args.dst, (), args=args)
-    n_in, n_kept = docs.count(), kept.count()
+    # the kept count rides the write via observe() — ONE execution of
+    # the LSH -> verify -> cluster -> anti-join pipeline per CLI run
+    # (a trailing kept.count() would replay all of it; same pattern as
+    # plans/manifest.py ResumableJob.run)
+    obs = Observation()
+    _write(kept.observe(obs, F.count(F.lit(1)).alias("n_kept")), args.dst, (), args=args)
+    n_kept = int(obs.get["n_kept"])
     print(json.dumps({"input": n_in, "kept": n_kept, "dropped": n_in - n_kept}))
 
 
@@ -202,8 +213,13 @@ def cmd_sample(args):
         out = mixture_sample(
             docs, weights, domain=args.domain, key=args.key, seed=args.seed
         )
-    _write(out, args.dst, (), args=args)
-    print(json.dumps({"input": docs.count(), "kept": out.count()}))
+    # kept count rides the write (one pass over the map-side filter)
+    from pyspark.sql import Observation
+    from pyspark.sql import functions as F
+
+    obs = Observation()
+    _write(out.observe(obs, F.count(F.lit(1)).alias("n_kept")), args.dst, (), args=args)
+    print(json.dumps({"input": docs.count(), "kept": int(obs.get["n_kept"])}))
 
 
 def cmd_pipjoin(args):

@@ -102,15 +102,21 @@ def brightness_temp(dn: np.ndarray, ml, al, k1, k2, src_nodata=0) -> np.ndarray:
     src_nodata=0) and then overwrites with NaN
     (rio_toa/brightness_temp.py:57-60).
     """
-    # same ops as k2 / log(k1 / lum + 1), fused in place (one buffer,
-    # no temporaries; each step is the identical IEEE op on f32)
     lum = radiance(dn, ml, al, src_nodata=0)
     lum[dn == src_nodata] = np.nan
-    np.divide(k1, lum, out=lum)
-    lum += 1
-    np.log(lum, out=lum)
-    np.divide(k2, lum, out=lum)
-    return lum
+    if type(k1) in (int, float) and type(k2) in (int, float):
+        # same ops as k2 / log(k1 / lum + 1), fused in place (one
+        # buffer, no temporaries; each step is the identical IEEE op on
+        # f32). ONLY valid for plain python scalars — same guard as
+        # radiance: an np.float64 K would value-based-upcast the
+        # expression form to f64, which in-place f32 ops would silently
+        # double-round away.
+        np.divide(k1, lum, out=lum)
+        lum += 1
+        np.log(lum, out=lum)
+        np.divide(k2, lum, out=lum)
+        return lum
+    return k2 / np.log((k1 / lum) + 1)
 
 
 def rescale(arr: np.ndarray, rescale_factor, dtype, clip: bool = True) -> np.ndarray:

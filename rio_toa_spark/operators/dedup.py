@@ -579,6 +579,8 @@ def duplicate_clusters(
     a: str = "a",
     b: str = "b",
     max_iter: int = 25,
+    on_max_iter: str = "raise",
+    storage_level=None,
 ) -> DataFrame:
     """Connected components over a near-duplicate pair graph:
     (node, cluster_id) with cluster_id = the minimum node id reachable
@@ -607,18 +609,35 @@ def duplicate_clusters(
     uniformly labeled; labels only ever take component-node values and
     only decrease from each node's own id, so the uniform value is the
     component minimum.
+
+    ``storage_level`` sets the StorageLevel of each round's
+    localCheckpoint (default: Spark's MEMORY_AND_DISK) — pass e.g.
+    StorageLevel.DISK_ONLY when executor memory is contended at scale;
+    the checkpoint blocks are executor-local either way (lineage
+    truncation, not fault tolerance — a lost executor fails the job,
+    which resumable callers retry).
+
+    ``on_max_iter``: 'raise' (default) refuses to return a clustering
+    that may still be merging; 'partial' returns the current labels —
+    a SAFE partial result for dedup (labels can only UNDER-merge: two
+    nodes of one component may still hold different labels, so a
+    downstream keep-one-per-cluster drops fewer rows, never a wrong
+    row), for operators who prefer progress over an exception.
     """
+    if on_max_iter not in ("raise", "partial"):
+        raise ValueError("on_max_iter must be 'raise' or 'partial', got %r" % on_max_iter)
+    ckpt = {"storageLevel": storage_level} if storage_level is not None else {}
     edges = pairs_df.select(F.col(a).alias("src"), F.col(b).alias("dst"))
     edges = (
         edges.union(edges.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
         .distinct()
-        .localCheckpoint(eager=False)
+        .localCheckpoint(eager=False, **ckpt)
     )
     labels = (
         edges.select(F.col("src").alias("node"))
         .distinct()
         .withColumn("label", F.col("node"))
-        .localCheckpoint(eager=False)
+        .localCheckpoint(eager=False, **ckpt)
     )
     for _ in range(max_iter):
         neighbor_min = (
@@ -652,10 +671,19 @@ def duplicate_clusters(
                 obs, F.sum((F.col("new_label") < F.col("label")).cast("long")).alias("changed")
             )
             .select("node", F.col("new_label").alias("label"))
-            .localCheckpoint(eager=True)  # materializes -> obs is filled
+            .localCheckpoint(eager=True, **ckpt)  # materializes -> obs is filled
         )
         if obs.get["changed"] == 0:
             return labels
+    if on_max_iter == "partial":
+        import warnings
+
+        warnings.warn(
+            "duplicate_clusters: not converged after %d rounds; returning the "
+            "partial (under-merged, never wrong-merged) labels" % max_iter,
+            stacklevel=2,
+        )
+        return labels
     raise ValueError(
         "duplicate_clusters did not converge in %d rounds — component "
         "diameter exceeds the cap; raise max_iter" % max_iter

@@ -93,14 +93,21 @@ def decode_image(df: DataFrame, payload: str = "payload", key: str = "media_id")
 
     schema = T.StructType([df.schema[key]] + _DECODED_FIELDS)
 
+    import struct as _struct
+
     def _decode_one(p: bytes) -> np.ndarray:
         if bytes(p[:8]) == PNG_SIGNATURE:
             return decode_png(bytes(p))
         if bytes(p[:3]) == JPEG_SIGNATURE:
             try:
                 return decode_jpeg(bytes(p))
-            except ValueError:
-                pass  # non-baseline JPEG: PIL (if present) or the stub
+            except (ValueError, KeyError, IndexError, _struct.error):
+                # non-baseline JPEG raises ValueError, but a CORRUPT
+                # payload that merely starts with FFD8FF can surface as
+                # KeyError (missing huff/qt table id), IndexError (bad
+                # AC run) or struct.error (truncated segment) — all must
+                # fall through to PIL/stub, never kill the batch
+                pass
         if _HAVE_PIL:  # pragma: no cover
             # real decoder path for JPEG & friends when PIL exists in
             # the environment; anything PIL can't parse (e.g. the

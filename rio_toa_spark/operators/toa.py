@@ -268,24 +268,66 @@ def stack_bands(toa_df: DataFrame, bands: list[int]) -> DataFrame:
     """Optional sink-side band stacking (one row per tile with the
     band planes in order) — the Spark analogue of the reference's
     multi-band GeoTIFF assembly (rio_toa/reflectance.py:198-210).
-    The only shuffle in the TOA path, and only when requested."""
+    The only shuffle in the TOA path, and only when requested.
+
+    Groups by the tile key ONLY and raises if the collected planes
+    disagree on width/height/dtype — the stack-level analogue of the
+    reference's output-shape check (rio_toa/reflectance.py:67-72).
+    Keying on the dims instead would silently SPLIT a mismatched tile
+    into two partial rows."""
     order = F.array_position(F.array(*[F.lit(b) for b in bands]), F.col("band"))
-    return (
+    grouped = (
         toa_df.withColumn("_ord", order)
-        .groupBy("scene_id", "tile_row", "tile_col", "width", "height", "dtype")
+        .groupBy("scene_id", "tile_row", "tile_col")
         .agg(
-            F.sort_array(F.collect_list(F.struct(F.col("_ord"), F.col("band"), F.col("pixels")))).alias("_planes")
+            F.sort_array(
+                F.collect_list(
+                    F.struct(
+                        F.col("_ord"),
+                        F.col("band"),
+                        F.col("width"),
+                        F.col("height"),
+                        F.col("dtype"),
+                        F.col("pixels"),
+                    )
+                )
+            ).alias("_planes")
         )
-        .select(
-            "scene_id",
-            "tile_row",
-            "tile_col",
-            "width",
-            "height",
-            "dtype",
-            F.transform("_planes", lambda p: p["band"]).alias("bands"),
-            F.transform("_planes", lambda p: p["pixels"]).alias("planes"),
+    )
+    dims = F.array_distinct(
+        F.transform(
+            "_planes",
+            lambda p: F.struct(
+                p["width"].alias("width"),
+                p["height"].alias("height"),
+                p["dtype"].alias("dtype"),
+            ),
         )
+    )
+    first = F.element_at(dims, 1)
+    # the guard rides the width column so it cannot be pruned away
+    width_checked = F.when(F.size(dims) == 1, first["width"]).otherwise(
+        F.raise_error(
+            F.concat(
+                F.lit("stack_bands: bands disagree on width/height/dtype for tile "),
+                F.col("scene_id"),
+                F.lit("/"),
+                F.col("tile_row").cast("string"),
+                F.lit("/"),
+                F.col("tile_col").cast("string"),
+                F.lit(" — refusing to stack misaligned planes"),
+            )
+        )
+    )
+    return grouped.select(
+        "scene_id",
+        "tile_row",
+        "tile_col",
+        width_checked.alias("width"),
+        first["height"].alias("height"),
+        first["dtype"].alias("dtype"),
+        F.transform("_planes", lambda p: p["band"]).alias("bands"),
+        F.transform("_planes", lambda p: p["pixels"]).alias("planes"),
     )
 
 

@@ -420,10 +420,18 @@ def ensure_fixtures(
     # the exploded-DN table is total_px rows
     with_truth = total_px <= 32_000_000
     if with_truth:
-        for name in ("tile_dns", "scene_mosaics"):
+        for name in (
+            "tile_dns",
+            "scene_mosaics",
+            "toa_truth",
+            "media_truth",
+            "frames_truth",
+            "embeddings",
+            "ann_truth",
+        ):
             paths[name] = os.path.join(out_dir, "%s.parquet" % name)
     marker = os.path.join(
-        out_dir, ".fixtures-v4-%d-%d-%d-%d" % (n_scenes, grid, tile_size, n_pages)
+        out_dir, ".fixtures-v5-%d-%d-%d-%d" % (n_scenes, grid, tile_size, n_pages)
     )
     if os.path.exists(marker) and all(os.path.exists(p) for p in paths.values()):
         return paths
@@ -439,9 +447,18 @@ def ensure_fixtures(
         row_group_size=max(1024, n_pages // 64),
     )
     if with_truth:
+        from rio_toa_spark.sources import truth
+
         dns, mosaics = _tile_ground_truth(tiles)
         pq.write_table(dns, paths["tile_dns"], row_group_size=max(65536, dns.num_rows // 32))
         pq.write_table(mosaics, paths["scene_mosaics"])
+        pq.write_table(truth.toa_truth(scenes, tiles), paths["toa_truth"])
+        pq.write_table(truth.media_truth(), paths["media_truth"])
+        pq.write_table(truth.frames_truth(), paths["frames_truth"])
+        emb = truth.embeddings_arrow()
+        # splittable scan for the ANN queries (same rationale as tiles)
+        pq.write_table(emb, paths["embeddings"], row_group_size=max(64, emb.num_rows // 32))
+        pq.write_table(truth.ann_truth(emb), paths["ann_truth"])
     with open(marker, "w") as fh:
         fh.write("ok\n")
     return paths

@@ -242,3 +242,58 @@ def test_cli_sample_requires_exactly_one_mode(tmp_path):
 
     with _pytest.raises(SystemExit):
         cli.main(["sample", "x.parquet", str(tmp_path / "o")])
+
+
+def test_cli_dedup_single_pipeline_pass(spark, tmp_path, capsys, monkeypatch):
+    """The summary counts must come from the write's Observation: the
+    only DataFrame.count() in a dedup run is the column-pruned INPUT
+    count — a kept.count() would replay the LSH->verify->cluster->
+    anti-join pipeline (r03 VERDICT 'What's wrong' #1)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    import pyspark.sql.classic.dataframe as df_mod
+
+    rows = [(i, "text body %d shared tokens across docs" % (i % 2)) for i in range(8)]
+    src = str(tmp_path / "docs.parquet")
+    pq.write_table(
+        pa.table(
+            {
+                "doc_id": pa.array([r[0] for r in rows], pa.int64()),
+                "text": pa.array([r[1] for r in rows], pa.string()),
+            }
+        ),
+        src,
+    )
+    counted = []
+    orig_count = df_mod.DataFrame.count
+
+    def counting(self):
+        counted.append(self)
+        return orig_count(self)
+
+    monkeypatch.setattr(df_mod.DataFrame, "count", counting)
+    cli.main(["dedup", src, str(tmp_path / "kept"), "--threshold", "0.5"])
+    stats = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert stats["input"] == 8 and stats["kept"] + stats["dropped"] == 8
+    assert len(counted) == 1, "dedup ran %d count() actions; want 1 (input only)" % len(counted)
+
+
+def test_cli_sample_rate_single_pass(spark, tmp_path, capsys, monkeypatch):
+    import pyspark.sql.classic.dataframe as df_mod
+
+    counted = []
+    orig_count = df_mod.DataFrame.count
+
+    def counting(self):
+        counted.append(self)
+        return orig_count(self)
+
+    monkeypatch.setattr(df_mod.DataFrame, "count", counting)
+    cli.main(
+        ["sample", "/root/testdata/sf0.001/documents.parquet",
+         str(tmp_path / "s"), "--rate", "0.25"]
+    )
+    stats = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert 0 < stats["kept"] < stats["input"]
+    # --rate is a pure map-side filter: one input count, zero recompute
+    assert len(counted) == 1, "sample ran %d count() actions; want 1" % len(counted)

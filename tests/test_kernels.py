@@ -133,3 +133,23 @@ def test_brightness_temp_property(dn, k1, k2):
     lum = ml * dn.astype(np.float32) + al
     ref = k2 / np.log(k1 / lum + 1)
     assert np.allclose(out, ref, equal_nan=True)
+
+
+def test_brightness_temp_non_python_scalars_keep_f64_upcast():
+    # non-python-scalar K1/K2 (array-likes: the multiband constant
+    # shape) must take the expression path, whose value-based casting
+    # upcasts to f64 — the in-place f32 fusion would silently
+    # double-round. Same guard radiance applies to ML/AL (ADVICE r03).
+    dn = np.array([[100, 200], [0, 40000]], dtype=np.uint16)
+    ml, al = 3.342e-4, 0.1
+    k1 = np.array([774.8853])
+    k2 = np.array([1321.0789])
+    got = kernels.brightness_temp(dn, ml, al, k1, k2)
+    lum = ml * dn.astype(np.float32) + al
+    lum[dn == 0] = np.nan
+    exp = k2 / np.log((k1 / lum) + 1)
+    assert got.dtype == np.float64
+    np.testing.assert_array_equal(got, exp)
+    # python-float constants still hit the fused path and stay f32
+    fused = kernels.brightness_temp(dn, ml, al, 774.8853, 1321.0789)
+    assert fused.dtype == np.float32

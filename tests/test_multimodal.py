@@ -149,3 +149,22 @@ def test_sample_video_frames_expands_rows(spark, media_df):
     # frames differ from each other (per-frame seed)
     first = [r for r in out if r.media_id == 1]
     assert len({r.pixels for r in first}) == 4
+
+
+def test_decode_image_corrupt_jpeg_falls_back(spark):
+    # payloads that merely START with the JPEG signature must fall
+    # through to the deterministic stub whatever parse error the codec
+    # hits (KeyError/IndexError/struct.error, not just ValueError) —
+    # one bad payload must never kill the mapInPandas batch
+    payloads = [
+        b"\xff\xd8\xff" + bytes(range(64)),
+        b"\xff\xd8\xff\xe0\x00",
+        b"\xff\xd8\xff\xdb\x00\x04\x10" + b"\x00" * 3,
+    ]
+    df = spark.createDataFrame(
+        [(i, p) for i, p in enumerate(payloads)], "media_id long, payload binary"
+    )
+    rows = {r.media_id: bytes(r.pixels) for r in mm.decode_image(df).collect()}
+    assert len(rows) == 3
+    for i, p in enumerate(payloads):
+        assert rows[i] == mm._fake_decode(p).tobytes()

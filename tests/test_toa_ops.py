@@ -225,3 +225,20 @@ def test_value_histogram_drops_nonfinite(spark, tiles_df, scenes_df):
     )
     n_total = sum(r.height * r.width for r in rows)
     assert 0 < n_hist == n_finite < n_total
+
+
+def test_stack_bands_mismatched_dims_raise(spark):
+    # one band's tile has different dimensions: the stack must raise
+    # (reference shape check, reflectance.py:67-72), not silently emit
+    # two partial rows keyed by differing dims
+    rows = [
+        ("S1", 2, 0, 0, 4, 4, "float32", b"\x00" * 64),
+        ("S1", 3, 0, 0, 8, 8, "float32", b"\x00" * 256),
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "scene_id string, band int, tile_row int, tile_col int, "
+        "width int, height int, dtype string, pixels binary",
+    )
+    with pytest.raises(Exception, match="disagree"):
+        toa.stack_bands(df, bands=[3, 2]).collect()
