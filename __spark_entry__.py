@@ -753,6 +753,43 @@ def _lang_detect_sql() -> str:
     )
 
 
+def _q_lang_detect_ngram(spark, sf_dir):
+    # character-trigram language ID (replace-length occurrence counts,
+    # linear per profile gram) — the morphology-aware complement to the
+    # stopword-based lang_detect, same argmax/tie-break contract
+    from rio_toa_spark.operators.textstats import detect_language_ngram
+
+    d = _t(spark, sf_dir, "documents")
+    return detect_language_ngram(d).select("doc_id", "lang_pred")
+
+
+def _lang_ngram_sql() -> str:
+    from rio_toa_spark.operators.textstats import CHAR_TRIGRAM_PROFILES
+
+    def score(lang):
+        diffs = " + ".join(
+            "(length(lower(text)) - length(replace(lower(text), '%s', '')))" % g
+            for g in CHAR_TRIGRAM_PROFILES[lang]
+        )
+        return (
+            "CAST(%s AS DOUBLE) / 3.0 / CAST(GREATEST(length(lower(text)) - 2, 1) AS DOUBLE)"
+            % diffs
+        )
+
+    langs_desc = sorted(CHAR_TRIGRAM_PROFILES, reverse=True)
+    cases = []
+    for i, lang in enumerate(langs_desc[:-1]):
+        others = langs_desc[i + 1 :]
+        cond = " AND ".join("s_%s >= s_%s" % (lang, o) for o in others)
+        cases.append("WHEN %s THEN '%s'" % (cond, lang))
+    case = "CASE %s ELSE '%s' END" % (" ".join(cases), langs_desc[-1])
+    scores = ", ".join("%s AS s_%s" % (score(lang), lang) for lang in langs_desc)
+    return (
+        "SELECT doc_id, %s AS lang_pred FROM ("
+        "SELECT doc_id, %s FROM documents)" % (case, scores)
+    )
+
+
 def _q_fingerprint(spark, sf_dir):
     from rio_toa_spark.operators.textstats import doc_fingerprint
 
@@ -1777,13 +1814,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_ivf": _q_ann_ivf,
         "media_pipeline": _q_media_pipeline,
         "media_frames": _q_media_frames,
-        # spatial layer (the index strategy produces the identical row
-        # multiset as broadcast/salted and stayed oracle-green r01-r03;
-        # its driver slot went to json_struct under the 50-row cap —
-        # the strategy remains pytest-verified in tests/test_spatial.py)
+        # spatial layer (the salted/index strategies produce the
+        # identical row multiset as broadcast and stayed oracle-green
+        # r01-r03; under the 50-row cap their driver slots went to
+        # json_struct and lang_detect_ngram — both strategies remain
+        # pytest-verified in tests/test_spatial.py and salted runs in
+        # bench.py's pip_pages_tiles_salted)
         "pip_broadcast": _q_pip_broadcast,
-        "pip_salted": _q_pip_salted,
         "json_struct": _q_json_struct,
+        "lang_detect_ngram": _q_lang_detect_ngram,
         "knn_broadcast": _q_knn,
         "knn_cells": _q_knn_cells,
         "cell_rollup": _q_cell_rollup,
@@ -1872,8 +1911,8 @@ def oracle_sql() -> dict[str, str]:
         "media_frames": _frames_truth_sql(),
         "ann_ivf": _ann_truth_sql(),
         "pip_broadcast": _PIP_SQL,
-        "pip_salted": _PIP_SQL,
         "json_struct": _JSON_STRUCT_SQL,
+        "lang_detect_ngram": _lang_ngram_sql(),
         "knn_broadcast": _KNN_SQL,
         "knn_cells": _KNN_SQL,
         "cell_rollup": _CELL_ROLLUP_SQL % (_duck_cell("lon", "lat", 8), _DOC_POINTS_SQL),

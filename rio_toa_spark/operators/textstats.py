@@ -122,6 +122,61 @@ def detect_language(df: DataFrame, text: str = "text", out: str = "lang_pred") -
     return df.withColumn(out, best["lang"]).drop("_scores")
 
 
+# character-trigram profiles (high-frequency trigrams incl. word
+# boundaries; ASCII-only for cross-engine byte/char-length agreement).
+# Char n-grams see morphology the stopword lists miss (inflected or
+# stopword-poor text still carries its language's trigram signature).
+CHAR_TRIGRAM_PROFILES = {
+    "en": ["the", "he ", " th", "ing", "and", " an", "ion", " of", "tio", "ed "],
+    "de": ["der", "die", "und", "ein", "ich", "sch", "che", "en ", "ung", "nde"],
+    "fr": [" de", "es ", "le ", " le", "les", " la", "que", " qu", "ent", "ait"],
+    "es": ["de ", " de", "os ", " la", "la ", "el ", " el", "que", " qu", "ado"],
+    "it": [" di", "di ", "la ", " la", "che", " ch", "to ", "zio", "ell", "nte"],
+    "pt": [" de", "de ", "os ", " do", "do ", "da ", " da", "que", " qu", "ar "],
+    "nl": ["en ", "de ", " de", "et ", "een", " ee", "van", " va", "er ", "ij "],
+}
+
+
+def char_trigram_scores(text_col: Column) -> Column:
+    """Map of lang -> character-trigram hit rate.
+
+    Occurrences are counted with the replace-length trick —
+    (length(t) - length(replace(t, g, ''))) / 3 — which is LINEAR in
+    text length per profile gram (O(|profiles| * n) total), not the
+    O(n^2) enumerate-all-trigrams formulation; leftmost-non-overlapping
+    replace semantics are identical in Spark and DuckDB, so the score
+    arithmetic (int sums, /3.0, /max(len-2,1)) is exactly twinnable.
+    """
+    t = F.lower(text_col)
+    denom = F.greatest(F.length(t) - 2, F.lit(1)).cast("double")
+    entries = []
+    for lang, grams in CHAR_TRIGRAM_PROFILES.items():
+        diffs = [
+            F.length(t) - F.length(F.replace(t, F.lit(g), F.lit(""))) for g in grams
+        ]
+        total = diffs[0]
+        for d in diffs[1:]:
+            total = total + d
+        hits = total.cast("double") / F.lit(3.0)
+        entries.append(
+            F.struct(F.lit(lang).alias("lang"), (hits / denom).alias("score"))
+        )
+    return F.map_from_entries(F.array(*entries))
+
+
+def detect_language_ngram(df: DataFrame, text: str = "text", out: str = "lang_pred") -> DataFrame:
+    """argmax over char_trigram_scores with the same deterministic
+    largest-lang-name tie-break as detect_language."""
+    df = df.withColumn("_scores", char_trigram_scores(F.col(text)))
+    best = F.array_max(
+        F.transform(
+            F.map_entries(F.col("_scores")),
+            lambda e: F.struct(e["value"].alias("score"), e["key"].alias("lang")),
+        )
+    )
+    return df.withColumn(out, best["lang"]).drop("_scores")
+
+
 def doc_fingerprint(text_col: Column) -> Column:
     """Document fingerprint: portable 60-bit hash of the
     whitespace-normalized text (rolling-hash-equivalent content id)."""

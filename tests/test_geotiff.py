@@ -61,3 +61,49 @@ def test_roundtrip_tiny_tif(spark, tmp_path):
     # edge window keeps its true size
     r11 = full[(1, 1)]
     assert (r11.width, r11.height) == (28, 8)
+
+
+@pytest.mark.skipif(not HAVE_RASTERIO, reason="rasterio not installed")
+def test_reference_golden_radiance_bytes(spark):
+    """Close the literal golden-file loop on real Landsat bytes
+    (reference tests/test_radiance.py:52-123): ingest the reference's
+    tiny_LC81390452014295LGN00_B5.TIF through the GeoTIFF bridge, run
+    the distributed radiance pipeline with the reference CLI defaults
+    (dst uint16, rescale normalize_scale(None,'uint16')=65535,
+    clip=True — the convention the checked-in *_radl.TIF golden was
+    produced with), mosaic back to one raster, and bit-compare.
+
+    Skipped in this container (no rasterio); the same kernel + mosaic
+    logic is bitwise-verified on synthetic tiles in tests/test_toa_ops
+    .py and tests/test_mosaic.py, so this test's job is purely the
+    real-bytes bridge."""
+    import json as _json
+
+    import numpy as np
+    import rasterio as rio
+
+    from rio_toa_spark.operators import toa
+    from rio_toa_spark.sources.fixtures import _mtl_to_odl
+
+    ref = "/root/reference/tests/data"
+    src_tif = f"{ref}/tiny_LC81390452014295LGN00_B5.TIF"
+    golden = f"{ref}/tiny_LC81390452014295LGN00_B5_radl.TIF"
+    mtl = _json.load(open(f"{ref}/LC81390452014295LGN00_MTL.json"))
+
+    tiles = geotiff.geotiff_to_tiles(spark, [src_tif], tile_size=256)
+    scenes = spark.createDataFrame(
+        [("LC81390452014295LGN00", _mtl_to_odl(mtl))], "scene_id string, mtl_txt string"
+    )
+    out = toa.mosaic_scene(
+        toa.radiance_tiles(tiles, scenes, band=5, dst_dtype="uint16")
+    ).collect()
+    assert len(out) == 1
+    got = np.frombuffer(out[0].pixels, np.uint16).reshape(out[0].height, out[0].width)
+
+    with rio.open(golden) as src:
+        exp = src.read(1)
+    assert got.shape == exp.shape
+    # the reference's own assertions (test_calculate_radiance) ...
+    assert int(got.min()) == int(exp.min()) and int(got.max()) == int(exp.max())
+    # ... strengthened to the full byte-for-byte comparison
+    np.testing.assert_array_equal(got, exp)

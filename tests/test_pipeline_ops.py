@@ -214,3 +214,49 @@ def test_detect_language_known_snippets(spark):
     df = spark.createDataFrame([(i, t) for i, t, _ in samples], "doc_id int, text string")
     got = {r.doc_id: r.lang_pred for r in textstats.detect_language(df).collect()}
     assert got == {i: want for i, _, want in samples}
+
+
+def test_detect_language_ngram_known_snippets(spark):
+    # char-trigram profiles must classify morphology-bearing text even
+    # where stopword lists are sparse; tie-break contract matches
+    # detect_language (largest lang name wins on equal scores)
+    from rio_toa_spark.operators import textstats
+
+    samples = [
+        (1, "the thing was standing there and the morning light was shining", "en"),
+        (2, "der wanderer wandert durch die schoene landschaft und einsame strassen", "de"),
+        (3, "le gouvernement que les quartiers aient entendu pendant le moment", "fr"),
+        (4, "el gato pasado la semana el mercado de la ciudad que ha quedado", "es"),
+        (5, "la stazione di polizia che la direzione della nazione ha scelto", "it"),
+        (6, "os meninos do porto que moram da cidade falar de futebol do pais", "pt"),
+        (7, "de ijsberen van een eiland eten er bij aan de rivier en de zee", "nl"),
+    ]
+    df = spark.createDataFrame([(i, t) for i, t, _ in samples], "doc_id int, text string")
+    got = {r.doc_id: r.lang_pred for r in textstats.detect_language_ngram(df).collect()}
+    assert got == {i: want for i, _, want in samples}
+
+
+def test_char_trigram_scores_linear_formulation(spark):
+    # the replace-length occurrence count must equal a brute-force
+    # sliding-window trigram count (leftmost non-overlapping)
+    from rio_toa_spark.operators import textstats
+
+    text = "the theatre then thews the anthem then"
+    df = spark.createDataFrame([(1, text)], "doc_id int, text string")
+    row = df.select(
+        textstats.char_trigram_scores(F.col("text")).alias("s")
+    ).collect()[0]
+
+    def occurrences(t, g):
+        n = i = 0
+        while True:
+            j = t.find(g, i)
+            if j < 0:
+                return n
+            n += 1
+            i = j + len(g)
+
+    t = text.lower()
+    for lang, grams in textstats.CHAR_TRIGRAM_PROFILES.items():
+        exp = sum(occurrences(t, g) for g in grams) / (len(t) - 2)
+        assert row.s[lang] == pytest.approx(exp, abs=1e-12), lang
