@@ -262,7 +262,13 @@ def decode_jpeg(data: bytes) -> np.ndarray:
             scan = []  # (comp_idx, dc_table, ac_table)
             for i in range(ns):
                 cid, tables = seg[1 + 2 * i], seg[2 + 2 * i]
-                idx = next(j for j, c in enumerate(comps) if c[0] == cid)
+                # next() without a default would raise StopIteration on
+                # a scan component id missing from SOF — a corrupt-file
+                # parse error, so normalize it to ValueError (the decode
+                # seam's contract; found by payload fuzzing)
+                idx = next((j for j, c in enumerate(comps) if c[0] == cid), None)
+                if idx is None:
+                    raise ValueError("SOS references undefined component id %d" % cid)
                 scan.append((idx, tables >> 4, tables & 0xF))
             reader = _BitReader(data, pos + seg_len)
             return _decode_scan(

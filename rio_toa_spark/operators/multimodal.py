@@ -94,19 +94,26 @@ def decode_image(df: DataFrame, payload: str = "payload", key: str = "media_id")
     schema = T.StructType([df.schema[key]] + _DECODED_FIELDS)
 
     import struct as _struct
+    import zlib as _zlib
+
+    # parse failures a corrupt payload can surface from the pure-numpy
+    # codecs: ValueError (bad header / non-baseline), KeyError (missing
+    # huff/qt table id), IndexError (bad AC run), struct.error
+    # (truncated segment), zlib.error (corrupt IDAT stream). All must
+    # fall through to PIL/stub — one bad payload must never kill the
+    # whole mapInPandas batch (fuzz-tested in tests/test_multimodal.py)
+    _PARSE_ERRORS = (ValueError, KeyError, IndexError, _struct.error, _zlib.error)
 
     def _decode_one(p: bytes) -> np.ndarray:
         if bytes(p[:8]) == PNG_SIGNATURE:
-            return decode_png(bytes(p))
+            try:
+                return decode_png(bytes(p))
+            except _PARSE_ERRORS:
+                pass
         if bytes(p[:3]) == JPEG_SIGNATURE:
             try:
                 return decode_jpeg(bytes(p))
-            except (ValueError, KeyError, IndexError, _struct.error):
-                # non-baseline JPEG raises ValueError, but a CORRUPT
-                # payload that merely starts with FFD8FF can surface as
-                # KeyError (missing huff/qt table id), IndexError (bad
-                # AC run) or struct.error (truncated segment) — all must
-                # fall through to PIL/stub, never kill the batch
+            except _PARSE_ERRORS:
                 pass
         if _HAVE_PIL:  # pragma: no cover
             # real decoder path for JPEG & friends when PIL exists in

@@ -168,3 +168,28 @@ def test_decode_image_corrupt_jpeg_falls_back(spark):
     assert len(rows) == 3
     for i, p in enumerate(payloads):
         assert rows[i] == mm._fake_decode(p).tobytes()
+
+
+def test_decode_image_never_raises_on_fuzzed_payloads(spark):
+    # the REAL operator over fuzzed payloads forced under each magic
+    # signature: every row must decode via codec -> fallback chain,
+    # never raise (the documented never-raises seam). Any parse
+    # exception type the codecs can throw that is missing from the
+    # catch list kills this test, which is the point.
+    import numpy as np
+
+    rng = np.random.default_rng(1234)
+    prefixes = [b"", b"\x89PNG\r\n\x1a\n", b"\xff\xd8\xff", b"RIFF"]
+    payloads = [
+        prefixes[i % 4]
+        + rng.integers(0, 256, size=int(rng.integers(0, 300)), dtype=np.uint8).tobytes()
+        for i in range(80)
+    ]
+    df = spark.createDataFrame(
+        [(i, p) for i, p in enumerate(payloads)], "media_id long, payload binary"
+    )
+    rows = mm.decode_image(df).collect()
+    assert len(rows) == 80
+    for r in rows:
+        assert r.channels in (1, 2, 3, 4)
+        assert len(r.pixels) == r.height * r.width * r.channels

@@ -242,3 +242,50 @@ def test_stack_bands_mismatched_dims_raise(spark):
     )
     with pytest.raises(Exception, match="disagree"):
         toa.stack_bands(df, bands=[3, 2]).collect()
+
+
+def test_truth_sidetable_agrees_with_test_oracle(fixture_paths):
+    # two independent transliterations of the reference workers exist:
+    # tests/oracle.py (the pytest golden) and sources/truth.py (the
+    # fixture-gen ground truth behind the driver twins). They must
+    # agree bit-for-bit, or one of them has drifted from the reference
+    # semantics.
+    import pyarrow.parquet as pq2
+
+    from rio_toa_spark.sources import truth as truth_mod
+
+    tiles = pq2.read_table(fixture_paths["tiles"])
+    side = {
+        (r["scene_id"], r["band"], r["tile_row"], r["tile_col"], r["kind"]): r["px_hash"]
+        for r in pq2.read_table(fixture_paths["toa_truth"]).to_pylist()
+    }
+    assert len(side) == 32  # 16 reflectance_ps + 16 brighttemp tiles
+    scenes = fx.make_scenes(4)
+    mtls = {sid: mtl["L1_METADATA_FILE"] for sid, mtl in scenes}
+    checked = 0
+    for r in tiles.to_pylist():
+        if r["band"] not in (4, 10):
+            continue
+        dn = np.frombuffer(r["pixels"], "<u2").reshape(r["height"], r["width"])
+        mtl = mtls[r["scene_id"]]
+        rr = mtl["RADIOMETRIC_RESCALING"]
+        if r["band"] == 4:
+            pm = mtl["PRODUCT_METADATA"]
+            buf = oracle.reflectance_worker(
+                dn, [rr["REFLECTANCE_MULT_BAND_4"]], [rr["REFLECTANCE_ADD_BAND_4"]],
+                None, 0, 1.0, np.float32, clip=True, pixel_sunangle=True,
+                bbox=[r["bounds_w"], r["bounds_s"], r["bounds_e"], r["bounds_n"]],
+                date_str=pm["DATE_ACQUIRED"], time_str=pm["SCENE_CENTER_TIME"],
+            ).tobytes()
+            key = (r["scene_id"], 4, r["tile_row"], r["tile_col"], "reflectance_ps")
+        else:
+            tc = mtl["TIRS_THERMAL_CONSTANTS"]
+            buf = oracle.brightness_temp_worker(
+                dn, rr["RADIANCE_MULT_BAND_10"], rr["RADIANCE_ADD_BAND_10"],
+                tc["K1_CONSTANT_BAND_10"], tc["K2_CONSTANT_BAND_10"],
+                0, "K", np.float32,
+            ).tobytes()
+            key = (r["scene_id"], 10, r["tile_row"], r["tile_col"], "brighttemp_k")
+        assert side[key] == truth_mod.h60(buf), key
+        checked += 1
+    assert checked == 32
