@@ -1574,42 +1574,6 @@ def _q_media_frames(spark, sf_dir):
     )
 
 
-def _q_media_thumbnail(spark, sf_dir):
-    # decode (real PNG) -> nearest-neighbor resize to 8x8 thumbnails
-    import numpy as np
-    import pandas as pd
-
-    from rio_toa_spark.operators.multimodal import decode_image, resize_image
-
-    d = _t(spark, sf_dir, "documents").select(F.col("doc_id").alias("media_id")).limit(32)
-
-    def enc(batches):
-        from rio_toa_spark.functions.png import encode_png
-
-        for pdf in batches:
-            payloads = [
-                encode_png(
-                    np.random.default_rng(int(mid) + 17).integers(
-                        0, 256, size=(24, 24, 3), dtype=np.uint8
-                    )
-                )
-                for mid in pdf["media_id"]
-            ]
-            yield pd.DataFrame({"media_id": pdf["media_id"], "payload": payloads})
-
-    pngs = d.mapInPandas(enc, "media_id long, payload binary")
-    small = resize_image(decode_image(pngs), out_h=8, out_w=8)
-    return small.select(
-        "media_id",
-        "height",
-        "width",
-        "channels",
-        F.conv(F.substring(F.md5(F.col("pixels")), 1, 15), 16, 10)
-        .cast("long")
-        .alias("pixels_hash"),
-    )
-
-
 def _q_zonal_dn_stats(spark, sf_dir):
     # raster<->vector zonal aggregation: per-(zone, band) pixel stats
     # with map-side partials (the pixel binary never shuffles); zones

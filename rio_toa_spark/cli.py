@@ -202,7 +202,20 @@ def cmd_sample(args):
     if (args.rate is None) == (args.mixture is None):
         raise SystemExit("exactly one of --rate / --mixture is required")
     spark = _spark(args)
-    docs = spark.read.parquet(args.docs)
+
+    from pyspark.sql import Observation
+    from pyspark.sql import functions as F
+
+    # the input count is observed ON the shared scan, upstream of the
+    # map-side sample filter, so both counts ride the ONE write job —
+    # no trailing docs.count() second pass (same single-pass discipline
+    # as cmd_dedup / ResumableJob). For --mixture the inventory job
+    # inside mixture_sample may fulfil the observation first; either
+    # job sees every input row, so the count is identical.
+    obs_in = Observation()
+    docs = spark.read.parquet(args.docs).observe(
+        obs_in, F.count(F.lit(1)).alias("n_in")
+    )
     if args.rate is not None:
         out = hash_sample(docs, args.rate, key=args.key, seed=args.seed)
     else:
@@ -214,12 +227,9 @@ def cmd_sample(args):
             docs, weights, domain=args.domain, key=args.key, seed=args.seed
         )
     # kept count rides the write (one pass over the map-side filter)
-    from pyspark.sql import Observation
-    from pyspark.sql import functions as F
-
     obs = Observation()
     _write(out.observe(obs, F.count(F.lit(1)).alias("n_kept")), args.dst, (), args=args)
-    print(json.dumps({"input": docs.count(), "kept": int(obs.get["n_kept"])}))
+    print(json.dumps({"input": int(obs_in.get["n_in"]), "kept": int(obs.get["n_kept"])}))
 
 
 def cmd_pipjoin(args):

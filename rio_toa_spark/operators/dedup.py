@@ -55,13 +55,18 @@ def _parallelize(df: DataFrame) -> DataFrame:
             max_pb = _parse_bytes(
                 df.sparkSession.conf.get("spark.sql.files.maxPartitionBytes", "128MB")
             )
+            # early-exit once enough splittable bytes are seen: the
+            # stat loop does O(min(#files, threshold)) driver syscalls,
+            # never O(#files) — though by the len() guard above this
+            # branch only ever runs on a handful of files anyway
+            # same boundary as ceil(total/max_pb) >= threshold
+            need = (max(2, target // 2) - 1) * max_pb + 1
             total = 0
             for uri in files:
                 path = uri[len("file:") :] if uri.startswith("file:") else uri
                 total += os.path.getsize(path)
-            est_splits = -(-total // max_pb)  # ceil
-            if est_splits >= max(2, target // 2):
-                return df
+                if total >= need:
+                    return df
         except OSError:
             pass  # non-local URIs: fall through to the conservative shuffle
     return df.repartition(target)

@@ -305,29 +305,35 @@ def stack_bands(toa_df: DataFrame, bands: list[int]) -> DataFrame:
         )
     )
     first = F.element_at(dims, 1)
-    # the guard rides the width column so it cannot be pruned away
-    width_checked = F.when(F.size(dims) == 1, first["width"]).otherwise(
-        F.raise_error(
-            F.concat(
-                F.lit("stack_bands: bands disagree on width/height/dtype for tile "),
-                F.col("scene_id"),
-                F.lit("/"),
-                F.col("tile_row").cast("string"),
-                F.lit("/"),
-                F.col("tile_col").cast("string"),
-                F.lit(" — refusing to stack misaligned planes"),
-            )
+    # the guard rides EVERY emitted column (not just width): a consumer
+    # that selects only `planes`/`bands` lets Catalyst prune the other
+    # columns, and a guard carried by one pruned column would silently
+    # vanish — the exact misaligned-stack failure it exists to prevent
+    err = F.raise_error(
+        F.concat(
+            F.lit("stack_bands: bands disagree on width/height/dtype for tile "),
+            F.col("scene_id"),
+            F.lit("/"),
+            F.col("tile_row").cast("string"),
+            F.lit("/"),
+            F.col("tile_col").cast("string"),
+            F.lit(" — refusing to stack misaligned planes"),
         )
     )
+    ok = F.size(dims) == 1
+
+    def checked(col: F.Column) -> F.Column:
+        return F.when(ok, col).otherwise(err)
+
     return grouped.select(
         "scene_id",
         "tile_row",
         "tile_col",
-        width_checked.alias("width"),
-        first["height"].alias("height"),
-        first["dtype"].alias("dtype"),
-        F.transform("_planes", lambda p: p["band"]).alias("bands"),
-        F.transform("_planes", lambda p: p["pixels"]).alias("planes"),
+        checked(first["width"]).alias("width"),
+        checked(first["height"]).alias("height"),
+        checked(first["dtype"]).alias("dtype"),
+        checked(F.transform("_planes", lambda p: p["band"])).alias("bands"),
+        checked(F.transform("_planes", lambda p: p["pixels"])).alias("planes"),
     )
 
 

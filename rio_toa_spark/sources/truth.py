@@ -278,11 +278,33 @@ def ann_truth(
                 if nrm > 0:
                     centroids[c] = m / nrm
 
-    corpus_list = np.argmax(vecs @ centroids.T, axis=1)
+    corpus_dots = vecs @ centroids.T
+    corpus_list = np.argmax(corpus_dots, axis=1)
     q_mask = ids < n_queries
-    probe_order = np.argsort(-(vecs[q_mask] @ centroids.T), axis=1, kind="stable")[
-        :, :n_probe
-    ]
+    q_dots = vecs[q_mask] @ centroids.T
+    probe_order = np.argsort(-q_dots, axis=1, kind="stable")[:, :n_probe]
+
+    # Exactness guard for the oracle contract: the engine computes the
+    # same argmax/argsort over (batch x centroids) BLAS matmuls whose
+    # summation blocking can differ from this full-matrix one by ~1e-13
+    # relative. A near-tied dot product could then flip a list
+    # assignment (or probe order) between the engine and this oracle
+    # nondeterministically across batch shapes/parallelism. Assert at
+    # GENERATION time that every decision has a margin orders of
+    # magnitude above f64 blocking noise, so the fixture itself proves
+    # the row-exact contract is stable; a violation means "reseed the
+    # fixture", never a flaky driver run.
+    top2 = np.partition(corpus_dots, -2, axis=1)[:, -2:]
+    min_assign_margin = float(np.min(top2[:, 1] - top2[:, 0]))
+    probe_sorted = -np.sort(-q_dots, axis=1)[:, : n_probe + 1]
+    min_probe_margin = float(np.min(np.diff(-probe_sorted, axis=1)))
+    if min(min_assign_margin, min_probe_margin) < 1e-6:
+        raise ValueError(
+            "ann_truth: near-tied centroid dot product (margin %.3g) — "
+            "reseed the embeddings fixture to keep the exact-oracle "
+            "contract robust to BLAS summation-order variation"
+            % min(min_assign_margin, min_probe_margin)
+        )
 
     out_q, out_v, out_r = [], [], []
     for qi, q_id in enumerate(ids[q_mask]):

@@ -295,5 +295,6 @@ def test_cli_sample_rate_single_pass(spark, tmp_path, capsys, monkeypatch):
     )
     stats = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
     assert 0 < stats["kept"] < stats["input"]
-    # --rate is a pure map-side filter: one input count, zero recompute
-    assert len(counted) == 1, "sample ran %d count() actions; want 1" % len(counted)
+    # --rate is a pure map-side filter and BOTH counts ride the write
+    # via Observations: zero count() actions, one job total
+    assert len(counted) == 0, "sample ran %d count() actions; want 0" % len(counted)

@@ -242,6 +242,12 @@ def test_stack_bands_mismatched_dims_raise(spark):
     )
     with pytest.raises(Exception, match="disagree"):
         toa.stack_bands(df, bands=[3, 2]).collect()
+    # the guard must survive column pruning: a consumer selecting ONLY
+    # planes (letting Catalyst prune width/height/dtype) still raises
+    with pytest.raises(Exception, match="disagree"):
+        toa.stack_bands(df, bands=[3, 2]).select("planes").collect()
+    with pytest.raises(Exception, match="disagree"):
+        toa.stack_bands(df, bands=[3, 2]).select("bands").collect()
 
 
 def test_truth_sidetable_agrees_with_test_oracle(fixture_paths):
