@@ -634,8 +634,12 @@ def _media_truth_sql() -> str:
     # expected (media_id, feature_idx, value) re-derived by the
     # generator from the pre-encode pixel arrays: proves the PNG
     # roundtrip, the nearest-neighbor resize, and the feature kernel
+    # decode_status is pinned to the literal genuine-decode marker:
+    # every payload in this query is a PNG the pure-numpy codec must
+    # decode genuinely, so any stub/PIL fallback breaks the hash match
     return (
-        "SELECT media_id, feature_idx, round(CAST(value AS DOUBLE), 6) AS value "
+        "SELECT media_id, feature_idx, round(CAST(value AS DOUBLE), 6) AS value, "
+        "'genuine_png' AS decode_status "
         "FROM read_parquet('%s')" % _fixture_paths()["media_truth"]
     )
 
@@ -1544,12 +1548,16 @@ def _q_media_pipeline(spark, sf_dir):
 
     pngs = d.mapInPandas(enc, "media_id long, payload binary")
     feats = image_features(resize_image(decode_image(pngs), out_h=8, out_w=8))
+    # decode_status provenance rides decode -> resize -> features; the
+    # twin pins it to the literal 'genuine_png', so a silent fallback
+    # to the stub (or PIL) on ANY payload hash-mismatches the oracle
     return feats.select(
-        "media_id", F.posexplode("features").alias("feature_idx", "value")
+        "media_id", "decode_status", F.posexplode("features").alias("feature_idx", "value")
     ).select(
         "media_id",
         "feature_idx",
         F.round(F.col("value").cast("double"), 6).alias("value"),
+        "decode_status",
     )
 
 

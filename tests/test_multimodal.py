@@ -132,6 +132,30 @@ def test_decode_image_real_png_path(spark):
     assert (got[2].height, got[2].width, got[2].channels) == (32, 32, 3)
 
 
+def test_decode_status_provenance(spark):
+    # decode provenance: genuine codec paths vs stub fallback must be
+    # distinguishable downstream (a 100TB pipeline needs to quantify
+    # and filter fallback decodes, not silently train on seeded noise)
+    from rio_toa_spark.functions.jpeg import encode_jpeg
+    from rio_toa_spark.functions.png import encode_png
+
+    rng = np.random.default_rng(5)
+    img = rng.integers(0, 256, size=(16, 16, 3), dtype=np.uint8)
+    rows = [
+        (1, encode_png(img)),  # genuine PNG decode
+        (2, encode_jpeg(img)),  # genuine baseline JPEG decode
+        (3, b"\x89PNG\r\n\x1a\n" + b"corrupt"),  # bad PNG -> stub
+        (4, b"\x00\x01opaque"),  # unknown format -> stub
+    ]
+    df = spark.createDataFrame(rows, "media_id int, payload binary")
+    got = {r.media_id: r.decode_status for r in mm.decode_image(df).collect()}
+    # the corrupt PNG fails the codec AND PIL (when present) -> stub
+    assert got == {1: "genuine_png", 2: "genuine_jpeg", 3: "stub", 4: "stub"}
+    # provenance rides through resize and features unchanged
+    feats = mm.image_features(mm.resize_image(mm.decode_image(df))).collect()
+    assert {r.media_id: r.decode_status for r in feats} == got
+
+
 def test_png_rejects_garbage():
     from rio_toa_spark.functions.png import decode_png
 
