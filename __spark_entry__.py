@@ -645,8 +645,12 @@ def _media_truth_sql() -> str:
 
 
 def _frames_truth_sql() -> str:
+    # pre-encode frame hashes (Motion-PNG is lossless; the generator
+    # never calls a codec) + the pinned genuine-decode status: any stub
+    # fallback in the engine's container walk is a hash mismatch
     return (
-        "SELECT media_id, frame_idx, pixels_hash FROM read_parquet('%s')"
+        "SELECT media_id, frame_idx, pixels_hash, "
+        "'genuine_mpng' AS decode_status FROM read_parquet('%s')"
         % _fixture_paths()["frames_truth"]
     )
 
@@ -1336,10 +1340,14 @@ def _q_media_describe(spark, sf_dir):
 # The magic-byte CASE mirrors describe_media's sniffing semantically:
 # PNG (\x89...) and JPEG (\xff\xd8\xff) prefixes are unreachable from
 # utf-8-encoded text (0x89/0xff cannot start valid UTF-8), so only the
-# ASCII 'RIFF' arm is expressible — and that is the only reachable one.
+# ASCII RIFF container arms (WAVE audio / 'AVI ' video by form tag at
+# byte 9) are expressible — and those are the only reachable ones.
 _MEDIA_SQL = (
     "SELECT doc_id, "
-    "CASE WHEN substring(text, 1, 4) = 'RIFF' THEN 'audio/wav' "
+    "CASE WHEN substring(text, 1, 4) = 'RIFF' AND substring(text, 9, 4) = 'WAVE' "
+    "THEN 'audio/wav' "
+    "WHEN substring(text, 1, 4) = 'RIFF' AND substring(text, 9, 4) = 'AVI ' "
+    "THEN 'video/avi' "
     "ELSE 'application/octet-stream' END AS media_type, "
     "CAST(octet_length(encode(text)) AS INTEGER) AS n_bytes, "
     + (_H60 % "text")
@@ -1562,23 +1570,49 @@ def _q_media_pipeline(spark, sf_dir):
 
 
 def _q_media_frames(spark, sf_dir):
-    # UDTF-style row expansion: n sampled frames per media payload
-    # (stub frame decoder — no video codecs in the container). EXACT
-    # oracle via generator ground truth: payloads are synthesized from
-    # media_id ('media-%05d'), so the generator re-derives every
-    # frame's pixel hash (sources/truth.py:frames_truth) and the
-    # mapInPandas expansion must reproduce them exactly.
+    # GENUINE video decode end to end: 10-frame Motion-PNG AVI videos
+    # are minted executor-side (seeded 24x24x3 frames -> PNG-encoded ->
+    # RIFF/AVI container, functions/avi.py), then sample_video_frames
+    # PARSES the container, samples 4 frames evenly (source indices
+    # 0,2,5,7), and decodes each through the pure-numpy PNG codec.
+    # EXACT oracle via generator ground truth: the generator re-derives
+    # every sampled frame's pixel hash from the PRE-ENCODE arrays
+    # (sources/truth.py:frames_truth — Motion-PNG is lossless, so the
+    # green row proves container walk + frame sampling + decode
+    # bitwise), and the twin pins decode_status to 'genuine_mpng' so a
+    # silent stub fallback hash-mismatches.
+    import numpy as np
+    import pandas as pd
+
     from rio_toa_spark.operators.multimodal import sample_video_frames
 
-    d = spark.range(32).select(
-        F.col("id").alias("media_id"),
-        F.encode(F.format_string("media-%05d", F.col("id")), "utf-8").alias("payload"),
-    )
-    frames = sample_video_frames(d, n_frames=4)
+    d = spark.range(32).select(F.col("id").alias("media_id"))
+
+    def mint(batches):
+        from rio_toa_spark.functions.avi import encode_avi
+        from rio_toa_spark.functions.png import encode_png
+
+        for pdf in batches:
+            payloads = []
+            for mid in pdf["media_id"]:
+                frames = [
+                    np.random.default_rng(9000 + int(mid) * 100 + fi).integers(
+                        0, 256, size=(24, 24, 3), dtype=np.uint8
+                    )
+                    for fi in range(10)
+                ]
+                payloads.append(
+                    encode_avi([encode_png(f) for f in frames], 24, 24, fourcc=b"MPNG")
+                )
+            yield pd.DataFrame({"media_id": pdf["media_id"], "payload": payloads})
+
+    videos = d.mapInPandas(mint, "media_id long, payload binary")
+    frames = sample_video_frames(videos, n_frames=4)
     return frames.select(
         "media_id",
         "frame_idx",
         _px_hash(F.col("pixels")).alias("pixels_hash"),
+        "decode_status",
     )
 
 

@@ -2,11 +2,13 @@
 
 Media payloads are opaque ``binary`` columns plus a typed metadata
 struct — the same tile pattern the TOA core uses. Heavy decode is a
-batch Arrow UDF over ``mapInPandas``; in this container no media
-codecs exist, so the decode step is STUBBED: a clearly marked
-deterministic fake (seeded from the payload hash) stands in for the
-real decoder behind the same signature/schema, and the genuine
-libraries are gated behind an import-try. Everything Spark-side —
+batch Arrow UDF over ``mapInPandas``. PNG, baseline JPEG, and
+MJPG/MPNG-in-AVI video are decoded GENUINELY through the pure-numpy
+codecs (functions/{png,jpeg,avi}.py); formats those can't parse fall
+back to a clearly marked deterministic stub (seeded from the payload
+hash) behind the same signature/schema, labeled via the
+``decode_status`` provenance column, with PIL gated behind an
+import-try as an intermediate fallback. Everything Spark-side —
 schemas, batching, partitioning, UDF shapes — is real and tested.
 
 Operators:
@@ -15,6 +17,7 @@ Operators:
 * ``resize_image``       — decoded pixels -> fixed thumbnail buffer
 * ``image_features``     — decoded pixels -> float feature vector
 * ``sample_video_frames``— binary video -> one row per sampled frame
+                           (genuine RIFF/AVI parse + per-frame decode)
 """
 
 from __future__ import annotations
@@ -51,7 +54,19 @@ def describe_media(df: DataFrame, payload: str = "payload") -> DataFrame:
         F.struct(
             F.when(F.substring(F.col(payload), 1, 4) == bytes([137, 80, 78, 71]), "image/png")
             .when(F.substring(F.col(payload), 1, 3) == b"\xff\xd8\xff", "image/jpeg")
-            .when(F.substring(F.col(payload), 1, 4) == b"RIFF", "audio/wav")
+            # RIFF is a container family: the form tag at byte 9
+            # decides WAV audio vs AVI video; a RIFF prefix without a
+            # known form stays opaque
+            .when(
+                (F.substring(F.col(payload), 1, 4) == b"RIFF")
+                & (F.substring(F.col(payload), 9, 4) == b"WAVE"),
+                "audio/wav",
+            )
+            .when(
+                (F.substring(F.col(payload), 1, 4) == b"RIFF")
+                & (F.substring(F.col(payload), 9, 4) == b"AVI "),
+                "video/avi",
+            )
             .otherwise("application/octet-stream")
             .alias("media_type"),
             F.length(F.col(payload)).cast("int").alias("n_bytes"),
@@ -226,30 +241,86 @@ def sample_video_frames(
     df: DataFrame, n_frames: int = 4, payload: str = "payload", key: str = "media_id"
 ) -> DataFrame:
     """binary video -> one row per sampled frame (UDTF-style expansion
-    inside mapInPandas). Frame extraction is the same stub decoder
-    seeded per (payload, frame_index)."""
+    inside mapInPandas).
+
+    RIFF/AVI payloads take a GENUINE path: the container is parsed
+    (functions/avi.py — pure struct RIFF walking), ``n_frames`` frames
+    are sampled evenly across the stream (source indices
+    i*total//n_frames, the same strided rule as resize_image), and each
+    sampled frame payload is decoded by its own signature — MJPG frames
+    through the baseline JPEG codec, MPNG (Motion-PNG) frames through
+    the PNG codec. ``frame_idx`` is the SOURCE frame number.
+
+    Non-AVI payloads (and any container/codec parse failure — the
+    never-raises seam) fall back to the documented deterministic stub
+    seeded per (payload, sample_ordinal), with ``decode_status`` =
+    'stub' so consumers can quantify fake frames exactly like
+    decode_image fallbacks."""
+    from rio_toa_spark.functions import avi as _avi
+    from rio_toa_spark.functions.jpeg import JPEG_SIGNATURE, decode_jpeg
+    from rio_toa_spark.functions.png import PNG_SIGNATURE, decode_png
+
     schema = T.StructType(
-        [df.schema[key], T.StructField("frame_idx", T.IntegerType())] + _DECODED_FIELDS
+        [df.schema[key], T.StructField("frame_idx", T.IntegerType())]
+        + _DECODED_FIELDS
+        + [_STATUS_FIELD]
     )
+
+    import struct as _struct
+    import zlib as _zlib
+
+    _PARSE_ERRORS = (ValueError, KeyError, IndexError, _struct.error, _zlib.error)
+
+    def _genuine(p: bytes):
+        """(source_idx, array, status) per sampled frame, or None to
+        fall back to the stub for the whole payload."""
+        frames = _avi.avi_frames(bytes(p))
+        total = len(frames)
+        out = []
+        for i in range(n_frames):
+            src = i * total // n_frames
+            fp = frames[src]
+            if fp[:8] == PNG_SIGNATURE:
+                out.append((src, decode_png(fp), "genuine_mpng"))
+            elif fp[:3] == JPEG_SIGNATURE:
+                out.append((src, decode_jpeg(fp), "genuine_mjpeg"))
+            else:
+                raise ValueError("AVI frame with unknown codec signature")
+        return out
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            keys, idxs, bufs = [], [], []
+            keys, idxs, hs, ws, cs, bufs, stats = [], [], [], [], [], [], []
             for row in pdf.itertuples(index=False):
                 payload_bytes = getattr(row, payload)
-                for fi in range(n_frames):
-                    frame = _fake_decode(payload_bytes + bytes([fi]))
+                decoded = None
+                if _avi.is_avi(bytes(payload_bytes)):
+                    try:
+                        decoded = _genuine(payload_bytes)
+                    except _PARSE_ERRORS:
+                        decoded = None
+                if decoded is None:
+                    decoded = [
+                        (fi, _fake_decode(payload_bytes + bytes([fi])), "stub")
+                        for fi in range(n_frames)
+                    ]
+                for src, arr, status in decoded:
                     keys.append(getattr(row, key))
-                    idxs.append(fi)
-                    bufs.append(frame.tobytes())
+                    idxs.append(src)
+                    hs.append(arr.shape[0])
+                    ws.append(arr.shape[1])
+                    cs.append(arr.shape[2])
+                    bufs.append(arr.tobytes())
+                    stats.append(status)
             yield pd.DataFrame(
                 {
                     key: keys,
                     "frame_idx": idxs,
-                    "height": 32,
-                    "width": 32,
-                    "channels": 3,
+                    "height": hs,
+                    "width": ws,
+                    "channels": cs,
                     "pixels": bufs,
+                    "decode_status": stats,
                 }
             )
 

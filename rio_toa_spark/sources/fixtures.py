@@ -431,7 +431,7 @@ def ensure_fixtures(
         ):
             paths[name] = os.path.join(out_dir, "%s.parquet" % name)
     marker = os.path.join(
-        out_dir, ".fixtures-v5-%d-%d-%d-%d" % (n_scenes, grid, tile_size, n_pages)
+        out_dir, ".fixtures-v6-%d-%d-%d-%d" % (n_scenes, grid, tile_size, n_pages)
     )
     if os.path.exists(marker) and all(os.path.exists(p) for p in paths.values()):
         return paths

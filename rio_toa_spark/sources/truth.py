@@ -190,21 +190,24 @@ def media_truth(n_media: int = 64, size: int = 24, out_size: int = 8) -> pa.Tabl
     )
 
 
-def frames_truth(n_media: int = 32, n_frames: int = 4) -> pa.Table:
+def frames_truth(n_media: int = 32, n_frames: int = 4, total: int = 10) -> pa.Table:
     """Expected (media_id, frame_idx, pixels_hash) for the media_frames
-    driver query: the documented deterministic frame stub (payload+idx
-    md5-seeded rng, 32x32x3) re-derived here from the same
-    'media-%05d' payloads the Spark query synthesizes."""
+    driver query: the query mints 10-frame Motion-PNG AVI videos from
+    seeded 24x24x3 frame arrays (rng(9000 + media_id*100 + frame)) and
+    samples 4 frames evenly. Motion-PNG is lossless, so the expected
+    pixel hashes are re-derived here from the PRE-ENCODE arrays — this
+    builder calls NO codec; a green row therefore proves the engine's
+    RIFF container walk, even-stride frame sampling (source indices
+    i*total//n), and pure-numpy PNG decode all bitwise end to end."""
     mids, idxs, hashes = [], [], []
     for mid in range(n_media):
-        payload = ("media-%05d" % mid).encode("utf-8")
-        for fi in range(n_frames):
-            seed = int.from_bytes(hashlib.md5(payload + bytes([fi])).digest()[:8], "little")
-            frame = np.random.default_rng(seed).integers(
-                0, 256, size=(32, 32, 3), dtype=np.uint8
+        for i in range(n_frames):
+            src = i * total // n_frames
+            frame = np.random.default_rng(9000 + mid * 100 + src).integers(
+                0, 256, size=(24, 24, 3), dtype=np.uint8
             )
             mids.append(mid)
-            idxs.append(fi)
+            idxs.append(src)
             hashes.append(h60(frame.tobytes()))
     return pa.table(
         {
