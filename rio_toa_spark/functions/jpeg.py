@@ -1,17 +1,23 @@
-"""Minimal pure-numpy baseline JPEG codec so the multimodal decode
-seam exercises a GENUINE JPEG decode in this container (no
-PIL/libjpeg available) — the JPEG sibling of functions/png.py.
+"""Minimal pure-numpy JPEG codec so the multimodal decode seam
+exercises a GENUINE JPEG decode in this container (no PIL/libjpeg
+available) — the JPEG sibling of functions/png.py.
 
-Decoder: baseline sequential DCT (SOF0), 8-bit, grayscale or YCbCr
-with 4:4:4 / 4:2:0 / 4:2:2 sampling, restart markers honored.
-Encoder: 4:4:4 (or grayscale), Annex K tables scaled by a quality
-factor — exists so tests can mint real JPEG payloads in an
-environment with no other JPEG producer.
+Decoder: baseline sequential DCT (SOF0) AND progressive DCT (SOF2,
+T.81 Annex G: spectral selection + successive approximation, DC and
+AC refinement scans, EOBRUN), 8-bit, grayscale or YCbCr with 4:4:4 /
+4:2:0 / 4:2:2 sampling, restart markers honored. Progressive matters
+for real web corpora, where SOF2 files are a double-digit share — a
+baseline-only decoder silently routes them to the stub.
+Encoder: baseline 4:4:4/4:2:0 (or grayscale), Annex K tables scaled
+by a quality factor, plus a progressive variant (spectral-selection
+scans; DC successively approximated) — exists so tests can mint real
+JPEG payloads in an environment with no other JPEG producer.
 
 The lossiness of JPEG means round-trips are asserted by PSNR, not
 bitwise; the decoder is additionally pinned by spec-level fixtures
-(hand-assembled DC-only streams with known pixel values) in
-tests/test_jpeg.py so encoder and decoder bugs cannot cancel.
+(hand-assembled streams with known pixel values, including AC
+successive-approximation refinement which our encoder does not emit)
+in tests/test_jpeg.py so encoder and decoder bugs cannot cancel.
 """
 
 from __future__ import annotations
@@ -203,7 +209,8 @@ def _extend(v: int, t: int) -> int:
 
 
 def decode_jpeg(data: bytes) -> np.ndarray:
-    """Baseline JPEG bytes -> uint8 (H, W, C) array, C = 1 or 3."""
+    """Baseline (SOF0) or progressive (SOF2) JPEG bytes -> uint8
+    (H, W, C) array, C = 1 or 3."""
     if data[:2] != b"\xff\xd8":
         raise ValueError("not a JPEG (missing SOI)")
     qt: dict[int, np.ndarray] = {}
@@ -211,6 +218,8 @@ def decode_jpeg(data: bytes) -> np.ndarray:
     comps = []  # (id, h, v, tq)
     width = height = 0
     restart_interval = 0
+    progressive = False
+    coef_store: list[np.ndarray] | None = None  # per comp (by, bx, 64) zigzag ints
     pos = 2
     while pos < len(data):
         if data[pos] != 0xFF:
@@ -238,14 +247,15 @@ def decode_jpeg(data: bytes) -> np.ndarray:
                 table = np.zeros(64, dtype=np.int32)
                 table[_ZZ] = vals
                 qt[tq] = table.reshape(8, 8)
-        elif marker == 0xC0:  # SOF0 baseline
+        elif marker in (0xC0, 0xC2):  # SOF0 baseline / SOF2 progressive
+            progressive = marker == 0xC2
             height, width = struct.unpack(">HH", seg[1:5])
             n = seg[5]
             for i in range(n):
                 cid, hv, tq = seg[6 + 3 * i], seg[7 + 3 * i], seg[8 + 3 * i]
                 comps.append((cid, hv >> 4, hv & 0xF, tq))
-        elif marker in (0xC1, 0xC2, 0xC3):
-            raise ValueError("only baseline sequential JPEG (SOF0) is supported")
+        elif marker in (0xC1, 0xC3):
+            raise ValueError("only SOF0 baseline / SOF2 progressive JPEG is supported")
         elif marker == 0xC4:  # DHT
             p = 0
             while p < len(seg):
@@ -271,10 +281,36 @@ def decode_jpeg(data: bytes) -> np.ndarray:
                     raise ValueError("SOS references undefined component id %d" % cid)
                 scan.append((idx, tables >> 4, tables & 0xF))
             reader = _BitReader(data, pos + seg_len)
-            return _decode_scan(
-                reader, comps, scan, qt, huff, width, height, restart_interval
+            if not progressive:
+                return _decode_scan(
+                    reader, comps, scan, qt, huff, width, height, restart_interval
+                )
+            # progressive: accumulate coefficients scan by scan; the
+            # image is reconstructed at EOI
+            if not comps:
+                raise ValueError("SOS before SOF in JPEG stream")
+            ss, se = seg[1 + 2 * ns], seg[2 + 2 * ns]
+            ahal = seg[3 + 2 * ns]
+            ah, al = ahal >> 4, ahal & 0xF
+            if coef_store is None:
+                coef_store = _alloc_coef_store(comps, width, height)
+            _decode_progressive_scan(
+                reader, comps, scan, coef_store, huff,
+                width, height, restart_interval, ss, se, ah, al,
             )
+            # resume the marker walk at the next real marker: the
+            # reader's pos may sit before residual entropy bytes whose
+            # stuffed 0xFF00 pairs must not be mistaken for markers
+            p = reader.pos
+            while p + 1 < len(data) and not (
+                data[p] == 0xFF and data[p + 1] not in (0x00, 0xFF)
+            ):
+                p += 1
+            pos = p
+            continue
         pos += seg_len
+    if progressive and coef_store is not None:
+        return _reconstruct_progressive(comps, coef_store, qt, width, height)
     raise ValueError("no SOS segment in JPEG stream")
 
 
@@ -321,7 +357,12 @@ def _decode_scan(reader, comps, scan, qt, huff, width, height, restart_interval)
                         y0 = (my * v + by) * 8
                         x0 = (mx * h + bx) * 8
                         planes[comp_idx][y0 : y0 + 8, x0 : x0 + 8] = px
-    # upsample each plane to full MCU-grid resolution, crop, color-convert
+    return _finish_planes(comps, planes, hmax, vmax, width, height)
+
+
+def _finish_planes(comps, planes, hmax, vmax, width, height) -> np.ndarray:
+    """Upsample each plane to full MCU-grid resolution, crop, and
+    color-convert — shared by the baseline and progressive paths."""
     out_planes = []
     for (cid, h, v, tq), plane in zip(comps, planes):
         if h != hmax or v != vmax:
@@ -336,6 +377,183 @@ def _decode_scan(reader, comps, scan, qt, huff, width, height, restart_interval)
     b = y + 1.772 * cb
     rgb = np.stack([r, g, b], axis=2)
     return np.clip(np.round(rgb), 0, 255).astype(np.uint8)
+
+
+# --------------------------------------------- progressive (SOF2, Annex G)
+
+
+def _grids(comps, width, height):
+    """Per-component block geometry: (padded MCU-grid block shape,
+    real block shape). Interleaved scans address the padded grid in
+    MCU order; non-interleaved scans raster over the real grid."""
+    hmax = max(c[1] for c in comps)
+    vmax = max(c[2] for c in comps)
+    mcux = -(-width // (8 * hmax))
+    mcuy = -(-height // (8 * vmax))
+    out = []
+    for cid, h, v, tq in comps:
+        comp_w = -(-width * h // hmax)
+        comp_h = -(-height * v // vmax)
+        out.append(((mcuy * v, mcux * h), (-(-comp_h // 8), -(-comp_w // 8))))
+    return hmax, vmax, mcux, mcuy, out
+
+
+def _alloc_coef_store(comps, width, height):
+    _, _, _, _, grids = _grids(comps, width, height)
+    return [np.zeros((pad[0], pad[1], 64), dtype=np.int32) for pad, _ in grids]
+
+
+def _decode_progressive_scan(
+    reader, comps, scan, coef_store, huff,
+    width, height, restart_interval, ss, se, ah, al,
+):
+    """One SOF2 scan (T.81 G.1.2): DC (ss==0) or AC band (ss>0),
+    first pass (ah==0) or successive-approximation refinement."""
+    hmax, vmax, mcux, mcuy, grids = _grids(comps, width, height)
+    if ss == 0 and se != 0:
+        raise ValueError("progressive scan mixes DC and AC bands")
+    if ss > 0 and len(scan) != 1:
+        raise ValueError("progressive AC scan must be single-component")
+
+    state = {"eobrun": 0, "pred": [0] * len(comps), "count": 0}
+
+    def boundary():
+        if restart_interval and state["count"] and state["count"] % restart_interval == 0:
+            reader.align_to_marker()
+            state["pred"] = [0] * len(comps)
+            state["eobrun"] = 0
+        state["count"] += 1
+
+    if len(scan) > 1:
+        # interleaved (DC) scan: MCU order over the padded grid
+        for my in range(mcuy):
+            for mx in range(mcux):
+                boundary()
+                for comp_idx, tdc, _tac in scan:
+                    cid, h, v, tq = comps[comp_idx]
+                    for by in range(v):
+                        for bx in range(h):
+                            blk = coef_store[comp_idx][my * v + by, mx * h + bx]
+                            _dc_pass(reader, blk, huff, tdc, ah, al, state, comp_idx)
+    else:
+        # non-interleaved: raster over the component's real block grid
+        comp_idx, tdc, tac = scan[0]
+        nrows, ncols = grids[comp_idx][1]
+        store = coef_store[comp_idx]
+        for by in range(nrows):
+            for bx in range(ncols):
+                boundary()
+                blk = store[by, bx]
+                if ss == 0:
+                    _dc_pass(reader, blk, huff, tdc, ah, al, state, comp_idx)
+                elif ah == 0:
+                    _ac_first_pass(reader, blk, huff, tac, ss, se, al, state)
+                else:
+                    _ac_refine_pass(reader, blk, huff, tac, ss, se, al, state)
+
+
+def _dc_pass(reader, blk, huff, tdc, ah, al, state, comp_idx):
+    if ah == 0:
+        t = _decode_huff(reader, huff[(0, tdc)])
+        diff = _extend(reader.read_bits(t), t)
+        state["pred"][comp_idx] += diff
+        blk[0] = state["pred"][comp_idx] << al
+    else:  # refinement: one raw bit per block
+        if reader.read_bit():
+            blk[0] |= 1 << al
+
+
+def _ac_first_pass(reader, blk, huff, tac, ss, se, al, state):
+    if state["eobrun"] > 0:
+        state["eobrun"] -= 1
+        return
+    k = ss
+    while k <= se:
+        rs = _decode_huff(reader, huff[(1, tac)])
+        r, s = rs >> 4, rs & 0xF
+        if s == 0:
+            if r == 15:
+                k += 16  # ZRL
+                continue
+            state["eobrun"] = (1 << r) - 1
+            if r:
+                state["eobrun"] += reader.read_bits(r)
+            break
+        k += r
+        if k > se:
+            raise ValueError("progressive AC run overflows band")
+        blk[k] = _extend(reader.read_bits(s), s) << al
+        k += 1
+
+
+def _ac_refine_pass(reader, blk, huff, tac, ss, se, al, state):
+    """Correction-bit refinement (T.81 G.1.2.3 / libjpeg semantics):
+    every nonzero-history coefficient passed emits one correction bit;
+    new coefficients appear as +-1 << al."""
+    p1 = 1 << al
+    m1 = -1 << al
+    k = ss
+
+    def correct(kk):
+        if reader.read_bit() and (blk[kk] & p1) == 0:
+            blk[kk] += p1 if blk[kk] >= 0 else m1
+
+    if state["eobrun"] == 0:
+        while k <= se:
+            rs = _decode_huff(reader, huff[(1, tac)])
+            r, s = rs >> 4, rs & 0xF
+            newval = 0
+            if s == 0:
+                if r < 15:
+                    # note: 1 << r, NOT (1 << r) - 1 as in the first
+                    # pass — the current block is consumed by the
+                    # trailing correction-bit section below, which
+                    # still has to read bits for k..se
+                    state["eobrun"] = 1 << r
+                    if r:
+                        state["eobrun"] += reader.read_bits(r)
+                    break
+                # r == 15: ZRL — skip 16 zero-history coefficients
+            else:
+                if s != 1:
+                    raise ValueError("invalid size in AC refinement scan")
+                newval = p1 if reader.read_bit() else m1
+            while k <= se:
+                if blk[k] != 0:
+                    correct(k)
+                else:
+                    if r == 0:
+                        break
+                    r -= 1
+                k += 1
+            if newval and k <= se:
+                blk[k] = newval
+            k += 1
+    if state["eobrun"] > 0:
+        while k <= se:
+            if blk[k] != 0:
+                correct(k)
+            k += 1
+        state["eobrun"] -= 1
+
+
+def _reconstruct_progressive(comps, coef_store, qt, width, height) -> np.ndarray:
+    """Dequantize + IDCT every accumulated block (vectorized over the
+    whole block grid) and assemble exactly like the baseline path."""
+    hmax = max(c[1] for c in comps)
+    vmax = max(c[2] for c in comps)
+    inv_zz = np.argsort(_ZZ)
+    planes = []
+    for (cid, h, v, tq), store in zip(comps, coef_store):
+        if tq not in qt:
+            raise ValueError("missing quantization table %d" % tq)
+        ny, nx, _ = store.shape
+        nat = store[:, :, inv_zz].reshape(ny, nx, 8, 8).astype(np.float64)
+        nat *= qt[tq][None, None, :, :]
+        px = np.einsum("iu,yxuv,jv->yxij", _DCT_M, nat, _DCT_M) + 128.0
+        plane = px.transpose(0, 2, 1, 3).reshape(ny * 8, nx * 8)
+        planes.append(plane)
+    return _finish_planes(comps, planes, hmax, vmax, width, height)
 
 
 # --------------------------------------------------------------- encoder
@@ -519,5 +737,133 @@ def encode_jpeg(
                     )
     bw.flush()
     out += bw.out
+    out += b"\xff\xd9"
+    return bytes(out)
+
+
+def encode_jpeg_progressive(arr: np.ndarray, quality: int = 85) -> bytes:
+    """uint8 (H, W), (H, W, 1) or (H, W, 3) -> progressive (SOF2)
+    JPEG bytes, 4:4:4 only. Scan script: interleaved DC at Al=1, DC
+    refinement at Al=0 (successive approximation), then one full
+    spectral-selection AC scan (1..63, Al=0) per component — the
+    minimal script that exercises the decoder's interleaved-DC,
+    DC-refinement, and per-component AC band paths with real data.
+    (AC successive approximation is exercised by hand-built spec
+    fixtures in tests/test_jpeg.py; this encoder does not emit it.)"""
+    arr = np.asarray(arr, dtype=np.uint8)
+    if arr.ndim == 2:
+        arr = arr[:, :, None]
+    h, w, c = arr.shape
+    if c not in (1, 3):
+        raise ValueError("JPEG encoder supports 1 or 3 channels, got %d" % c)
+    ql = _quality_scale(_K1_LUMA, quality)
+    qc = _quality_scale(_K2_CHROMA, quality)
+
+    def seg(marker, payload):
+        return bytes([0xFF, marker]) + struct.pack(">H", len(payload) + 2) + payload
+
+    out = bytearray(b"\xff\xd8")
+    out += seg(0xDB, bytes([0]) + bytes(ql.reshape(-1)[_ZZ].astype(np.uint8)))
+    if c == 3:
+        out += seg(0xDB, bytes([1]) + bytes(qc.reshape(-1)[_ZZ].astype(np.uint8)))
+    sof = bytearray([8]) + struct.pack(">HH", h, w) + bytes([c])
+    for i in range(c):
+        sof += bytes([i + 1, 0x11, 0 if i == 0 else 1])
+    out += seg(0xC2, bytes(sof))
+    for tc, th, (bits, values) in (
+        (0, 0, _DC_LUMA), (1, 0, _AC_LUMA), (0, 1, _DC_CHROMA), (1, 1, _AC_CHROMA)
+    )[: 2 if c == 1 else 4]:
+        out += seg(0xC4, bytes([tc << 4 | th]) + bytes(bits) + bytes(values))
+
+    # quantized coefficients per component, zigzag order, block raster
+    if c == 3:
+        f = arr.astype(np.float64)
+        y = 0.299 * f[..., 0] + 0.587 * f[..., 1] + 0.114 * f[..., 2]
+        cb = -0.168736 * f[..., 0] - 0.331264 * f[..., 1] + 0.5 * f[..., 2] + 128.0
+        cr = 0.5 * f[..., 0] - 0.418688 * f[..., 1] - 0.081312 * f[..., 2] + 128.0
+        planes = [(y, ql, 0), (cb, qc, 1), (cr, qc, 1)]
+    else:
+        planes = [(arr[..., 0].astype(np.float64), ql, 0)]
+    ph, pw = -(-h // 8) * 8, -(-w // 8) * 8
+    ny, nx = ph // 8, pw // 8
+    comp_zz = []
+    for p, q, tid in planes:
+        p = np.pad(p, ((0, ph - h), (0, pw - w)), mode="edge")
+        blocks = p.reshape(ny, 8, nx, 8).transpose(0, 2, 1, 3) - 128.0
+        coef = np.einsum("iu,yxij,jv->yxuv", _DCT_M, blocks, _DCT_M)
+        qz = np.round(coef / q[None, None]).astype(np.int64)
+        comp_zz.append(qz.reshape(ny, nx, 64)[:, :, _ZZ])
+    dc_codes = [_encode_codes(*_DC_LUMA), _encode_codes(*_DC_CHROMA)]
+    ac_codes = [_encode_codes(*_AC_LUMA), _encode_codes(*_AC_CHROMA)]
+
+    def sos(comps_in_scan, ss, se, ah, al):
+        payload = bytearray([len(comps_in_scan)])
+        for ci in comps_in_scan:
+            tid = 0 if ci == 0 else 1
+            payload += bytes([ci + 1, (tid << 4) | tid])
+        payload += bytes([ss, se, (ah << 4) | al])
+        return seg(0xDA, bytes(payload))
+
+    # scan 1: interleaved DC, Al=1 (coarse approximation)
+    out += sos(list(range(c)), 0, 0, 0, 1)
+    bw = _BitWriter()
+    pred = [0] * c
+    for by in range(ny):
+        for bx in range(nx):
+            for ci in range(c):
+                tid = 0 if ci == 0 else 1
+                dc = int(comp_zz[ci][by, bx, 0]) >> 1  # point transform Al=1
+                diff = dc - pred[ci]
+                pred[ci] = dc
+                t = abs(diff).bit_length()
+                code, length = dc_codes[tid][t]
+                bw.write(code, length)
+                if t:
+                    v = diff if diff > 0 else diff + (1 << t) - 1
+                    bw.write(v & ((1 << t) - 1), t)
+    bw.flush()
+    out += bw.out
+
+    # scan 2: DC refinement to Al=0 — one raw bit per block
+    out += sos(list(range(c)), 0, 0, 1, 0)
+    bw = _BitWriter()
+    for by in range(ny):
+        for bx in range(nx):
+            for ci in range(c):
+                bw.write(int(comp_zz[ci][by, bx, 0]) & 1, 1)
+    bw.flush()
+    out += bw.out
+
+    # scans 3..: per-component AC band 1..63 at Al=0 (EOB0 per block)
+    for ci in range(c):
+        tid = 0 if ci == 0 else 1
+        out += sos([ci], 1, 63, 0, 0)
+        bw = _BitWriter()
+        for by in range(ny):
+            for bx in range(nx):
+                zz = comp_zz[ci][by, bx]
+                run = 0
+                last_nz = np.nonzero(zz[1:])[0]
+                end = (last_nz[-1] + 2) if last_nz.size else 1
+                for k in range(1, end):
+                    v = int(zz[k])
+                    if v == 0:
+                        run += 1
+                        continue
+                    while run > 15:
+                        code, length = ac_codes[tid][0xF0]
+                        bw.write(code, length)
+                        run -= 16
+                    s = abs(v).bit_length()
+                    code, length = ac_codes[tid][(run << 4) | s]
+                    bw.write(code, length)
+                    mag = v if v > 0 else v + (1 << s) - 1
+                    bw.write(mag & ((1 << s) - 1), s)
+                    run = 0
+                if end < 64:
+                    code, length = ac_codes[tid][0x00]
+                    bw.write(code, length)
+        bw.flush()
+        out += bw.out
     out += b"\xff\xd9"
     return bytes(out)

@@ -131,3 +131,146 @@ def test_roundtrip_with_restart_markers(subsampling):
         jpeg.encode_jpeg(img, quality=92, subsampling=subsampling, restart_interval=2)
     )
     assert (plain == rst).all()  # identical quantized content, markers transparent
+
+
+# ------------------------------------------------- progressive (SOF2)
+
+
+@pytest.mark.parametrize("shape", [(8, 8), (17, 23), (32, 32, 3), (24, 40, 3)])
+def test_progressive_roundtrip_matches_baseline(shape):
+    """The progressive encoder emits the SAME quantized coefficients
+    as baseline, just split across scans — so progressive decode must
+    reproduce the baseline decode exactly, pixel for pixel."""
+    rng = np.random.default_rng(31)
+    img = rng.integers(0, 256, size=shape, dtype=np.uint8)
+    base = jpeg.decode_jpeg(jpeg.encode_jpeg(img, quality=90))
+    prog = jpeg.decode_jpeg(jpeg.encode_jpeg_progressive(img, quality=90))
+    assert np.array_equal(base, prog)
+
+
+def _prog_headers(h, w, qt_bytes):
+    out = bytearray(b"\xff\xd8")
+    out += _seg(0xDB, bytes([0]) + qt_bytes)
+    out += _seg(0xC2, bytes([8]) + struct.pack(">HH", h, w) + bytes([1, 1, 0x11, 0]))
+    bits, values = jpeg._DC_LUMA
+    out += _seg(0xC4, bytes([0x00]) + bytes(bits) + bytes(values))
+    bits, values = jpeg._AC_LUMA
+    out += _seg(0xC4, bytes([0x10]) + bytes(bits) + bytes(values))
+    return out
+
+
+def _scan(out, ss, se, ah, al, emit):
+    """Append one single-component SOS + entropy bytes built by
+    ``emit(write)`` where write(code, length) is MSB-first."""
+    out += _seg(0xDA, bytes([1, 1, 0x00, ss, se, (ah << 4) | al]))
+    bw = jpeg._BitWriter()
+    emit(bw.write)
+    bw.flush()
+    out += bw.out
+
+
+def test_progressive_spec_level_sa_fixture():
+    """Hand-assembled successive-approximation stream (T.81 Annex G)
+    the repo's encoder cannot emit: DC sent at Al=1 then refined; AC
+    band sent at Al=1 then refined at Al=0 with a correction bit that
+    flips an existing coefficient (-2 -> -3), a NEW +-1<<0 coefficient
+    appearing mid-band, and post-EOB correction bits. Target zigzag
+    coefficients (qt all ones): DC=5, k1=-3, k2=-1, k4=+2.
+
+    Scan script and symbols (Annex K luma tables):
+      1. DC first  Al=1: sends 5>>1=2      -> cat 2 + bits '10'
+      2. DC refine Al=0: raw bit 5&1=1
+      3. AC first  Al=1: k1 -3/2->-1 (0x01 + mag 0),
+                         k4  2/2->+1 (run 2: 0x21 + mag 1), EOB
+      4. AC refine Al=0: new k2=-1 (0x01 + sign 0) with correction
+                         bit 1 for k1 passed on the way (-2 -> -3),
+                         then EOB + correction bit 0 for k4 (stays 2)
+    """
+    dc = jpeg._encode_codes(*jpeg._DC_LUMA)
+    ac = jpeg._encode_codes(*jpeg._AC_LUMA)
+    out = _prog_headers(8, 8, bytes([1] * 64))
+
+    def scan1(w):
+        w(*dc[2])
+        w(0b10, 2)  # diff = +2
+
+    def scan2(w):
+        w(1, 1)
+
+    def scan3(w):
+        w(*ac[0x01])
+        w(0, 1)  # -1 magnitude bits
+        w(*ac[0x21])
+        w(1, 1)  # +1 magnitude bits
+        w(*ac[0x00])  # EOB
+
+    def scan4(w):
+        w(*ac[0x01])
+        w(0, 1)  # sign: negative -> new coef -1<<0
+        w(1, 1)  # correction bit for k1: -2 -> -3
+        w(*ac[0x00])  # EOB
+        w(0, 1)  # correction bit for k4: stays +2
+
+    _scan(out, 0, 0, 0, 1, scan1)
+    _scan(out, 0, 0, 1, 0, scan2)
+    _scan(out, 1, 63, 0, 1, scan3)
+    _scan(out, 1, 63, 1, 0, scan4)
+    out += b"\xff\xd9"
+
+    got = jpeg.decode_jpeg(bytes(out))
+
+    # expected pixels via an independently constructed IDCT basis
+    M = np.zeros((8, 8))
+    for x in range(8):
+        for u in range(8):
+            cu = np.sqrt(0.125) if u == 0 else 0.5
+            M[x, u] = cu * np.cos((2 * x + 1) * u * np.pi / 16.0)
+    nat = np.zeros(64)
+    nat[jpeg._ZZ[[0, 1, 2, 4]]] = [5.0, -3.0, -1.0, 2.0]
+    px = M @ nat.reshape(8, 8) @ M.T + 128.0
+    expected = np.clip(np.round(px), 0, 255).astype(np.uint8)[:, :, None]
+    assert np.array_equal(got, expected)
+
+
+def test_progressive_eobrun_spans_blocks():
+    """An EOB1 run (eobrun covering the next block too) in an AC first
+    scan: both blocks must come out DC-only. The Annex K AC table has
+    no EOBn>0 symbols (baseline never needs them), so the fixture
+    installs a one-symbol custom AC table: 0x10 = code '0', length 1."""
+    dc = jpeg._encode_codes(*jpeg._DC_LUMA)
+    out = _prog_headers(8, 16, bytes([1] * 64))
+    eob1_bits = [1] + [0] * 15
+    out += _seg(0xC4, bytes([0x10]) + bytes(eob1_bits) + bytes([0x10]))
+
+    def scan1(w):  # DC first Al=0: block A DC=4 (diff 4), block B DC=4 (diff 0)
+        w(*dc[3])
+        w(0b100, 3)
+        w(*dc[0])
+
+    def scan2(w):  # AC first: single EOB1 symbol, appended bit 0 -> eobrun=1
+        w(0, 1)  # the custom table's 0x10 code
+        w(0, 1)  # appended eobrun bit
+
+    _scan(out, 0, 0, 0, 0, scan1)
+    _scan(out, 1, 63, 0, 0, scan2)
+    out += b"\xff\xd9"
+    got = jpeg.decode_jpeg(bytes(out))
+    # DC=4, qt=1 -> flat 4 * 1/8 + 128 = 128.5 -> rounds to even 128
+    assert got.shape == (8, 16, 1)
+    assert (got == round(4 / 8.0 + 128)).all()
+
+
+def test_decode_image_operator_routes_progressive(spark):
+    """SOF2 payloads must take the genuine JPEG path in decode_image,
+    not the stub."""
+    from rio_toa_spark.operators.multimodal import decode_image
+
+    y, x = np.indices((16, 16))
+    img = np.stack([(40 + 4 * x) % 256, (60 + 4 * y) % 256, (x * y) % 256], axis=2).astype(np.uint8)
+    payload = jpeg.encode_jpeg_progressive(img, quality=95)
+    df = spark.createDataFrame([(1, payload)], "media_id int, payload binary")
+    row = decode_image(df).collect()[0]
+    assert row.decode_status == "genuine_jpeg"
+    dec = np.frombuffer(row.pixels, np.uint8).reshape(16, 16, 3).astype(np.float64)
+    psnr = 10 * np.log10(255.0**2 / max(np.mean((dec - img) ** 2), 1e-9))
+    assert psnr > 26.0, psnr
