@@ -1,8 +1,12 @@
 """Minimal pure-python/numpy PNG codec (zlib is stdlib) so the
 multimodal decode seam exercises a GENUINE image decode in this
-container (no PIL/libvips available). Supports 8-bit greyscale,
-grey+alpha, RGB and RGBA, non-interlaced; the decoder implements all
-five PNG scanline filters, the encoder emits filter 0.
+container (no PIL/libvips available). Supports 8-bit and 16-bit
+greyscale, grey+alpha, RGB and RGBA, non-interlaced; the decoder
+implements all five PNG scanline filters (which operate on BYTES with
+bpp = bytes-per-pixel, so the same unfilter code serves both depths),
+the encoder emits filter 0. 16-bit matters for raster payloads:
+Landsat DN data is natively uint16, so the media seam can carry tile
+buffers as real lossless images end to end.
 
 This is the real-decoder plug for operators/multimodal.decode_image:
 payloads starting with the PNG signature decode here; anything else
@@ -32,16 +36,20 @@ def _chunk(tag: bytes, data: bytes) -> bytes:
 
 
 def encode_png(arr: np.ndarray, compress_level: int = 6) -> bytes:
-    """uint8 array (H, W) or (H, W, C) with C in {1,2,3,4} -> PNG
-    bytes (filter 0 scanlines, one IDAT chunk)."""
-    arr = np.ascontiguousarray(arr, dtype=np.uint8)
+    """uint8 or uint16 array (H, W) or (H, W, C) with C in {1,2,3,4}
+    -> PNG bytes (filter 0 scanlines, one IDAT chunk; depth follows
+    the input dtype, 16-bit samples big-endian per spec)."""
+    depth = 16 if np.asarray(arr).dtype == np.uint16 else 8
+    arr = np.ascontiguousarray(arr, dtype=np.uint16 if depth == 16 else np.uint8)
     if arr.ndim == 2:
         arr = arr[:, :, None]
     if arr.ndim != 3 or arr.shape[2] not in _CHANNELS_TO_COLOR:
-        raise ValueError("expected (H, W[, C<=4]) uint8 array, got %r" % (arr.shape,))
+        raise ValueError("expected (H, W[, C<=4]) uint8/uint16 array, got %r" % (arr.shape,))
     h, w, c = arr.shape
+    if depth == 16:
+        arr = arr.astype(">u2")  # network byte order on the wire
     raw = b"".join(b"\x00" + arr[r].tobytes() for r in range(h))
-    ihdr = struct.pack(">IIBBBBB", w, h, 8, _CHANNELS_TO_COLOR[c], 0, 0, 0)
+    ihdr = struct.pack(">IIBBBBB", w, h, depth, _CHANNELS_TO_COLOR[c], 0, 0, 0)
     return (
         PNG_SIGNATURE
         + _chunk(b"IHDR", ihdr)
@@ -86,8 +94,9 @@ def _unfilter_row(ftype: int, row: np.ndarray, prev: np.ndarray, bpp: int) -> np
 
 
 def decode_png(data: bytes) -> np.ndarray:
-    """PNG bytes -> uint8 (H, W, C) array. 8-bit depth, color types
-    0/2/4/6, non-interlaced; all five scanline filters handled."""
+    """PNG bytes -> (H, W, C) array: uint8 for depth 8, uint16 for
+    depth 16. Color types 0/2/4/6, non-interlaced; all five scanline
+    filters handled (bytewise, bpp = bytes per pixel)."""
     if data[:8] != PNG_SIGNATURE:
         raise ValueError("not a PNG (bad signature)")
     pos = 8
@@ -100,22 +109,23 @@ def decode_png(data: bytes) -> np.ndarray:
         pos += 12 + length
         if tag == b"IHDR":
             w, h, depth, color, comp, filt, interlace = struct.unpack(">IIBBBBB", body)
-            if depth != 8:
-                raise NotImplementedError("only 8-bit PNG supported (depth=%d)" % depth)
+            if depth not in (8, 16):
+                raise NotImplementedError("only 8/16-bit PNG supported (depth=%d)" % depth)
             if interlace != 0:
                 raise NotImplementedError("interlaced PNG not supported")
             if color not in _COLOR_TO_CHANNELS:
                 raise NotImplementedError("palette PNG not supported (color=%d)" % color)
-            meta = (w, h, _COLOR_TO_CHANNELS[color])
+            meta = (w, h, _COLOR_TO_CHANNELS[color], depth)
         elif tag == b"IDAT":
             idat.append(body)
         elif tag == b"IEND":
             break
     if meta is None or not idat:
         raise ValueError("truncated PNG (missing IHDR/IDAT)")
-    w, h, c = meta
+    w, h, c, depth = meta
+    bpp = c * depth // 8  # filters operate on bytes, offset by bpp
     raw = zlib.decompress(b"".join(idat))
-    stride = w * c
+    stride = w * bpp
     if len(raw) != h * (stride + 1):
         raise ValueError("PNG payload size mismatch")
     out = np.empty((h, stride), dtype=np.uint8)
@@ -126,6 +136,12 @@ def decode_png(data: bytes) -> np.ndarray:
         off += 1
         row = np.frombuffer(raw, dtype=np.uint8, count=stride, offset=off)
         off += stride
-        prev = _unfilter_row(ftype, row, prev, c)
+        prev = _unfilter_row(ftype, row, prev, bpp)
         out[r] = prev
+    if depth == 16:
+        return (
+            np.frombuffer(out.tobytes(), dtype=">u2")
+            .astype(np.uint16)
+            .reshape(h, w, c)
+        )
     return out.reshape(h, w, c)

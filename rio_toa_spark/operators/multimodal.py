@@ -132,7 +132,14 @@ def decode_image(df: DataFrame, payload: str = "payload", key: str = "media_id")
     def _decode_one(p: bytes) -> tuple[np.ndarray, str]:
         if bytes(p[:8]) == PNG_SIGNATURE:
             try:
-                return decode_png(bytes(p)), "genuine_png"
+                arr = decode_png(bytes(p))
+                if arr.dtype == np.uint16:
+                    # this operator's contract is uint8 HWC buffers;
+                    # 16-bit PNGs keep the high byte here — raster
+                    # consumers needing full DN precision decode via
+                    # functions/png.decode_png directly
+                    arr = (arr >> 8).astype(np.uint8)
+                return arr, "genuine_png"
             except _PARSE_ERRORS:
                 pass
         if bytes(p[:3]) == JPEG_SIGNATURE:

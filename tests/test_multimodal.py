@@ -217,3 +217,63 @@ def test_decode_image_never_raises_on_fuzzed_payloads(spark):
     for r in rows:
         assert r.channels in (1, 2, 3, 4)
         assert len(r.pixels) == r.height * r.width * r.channels
+
+
+def test_png_16bit_roundtrip_bitwise():
+    # 16-bit depth: Landsat DN range values survive encode->decode
+    # exactly (big-endian samples on the wire, bytewise filters)
+    from rio_toa_spark.functions.png import decode_png, encode_png
+
+    rng = np.random.default_rng(21)
+    for shape in [(11, 7), (16, 16, 3), (9, 13, 4)]:
+        arr = rng.integers(0, 65536, size=shape, dtype=np.uint16)
+        out = decode_png(encode_png(arr))
+        assert out.dtype == np.uint16
+        assert np.array_equal(out, arr.reshape(out.shape))
+    # a DN-like tile: values well past uint8 range
+    dn = rng.integers(5000, 55000, size=(32, 32), dtype=np.uint16)
+    assert np.array_equal(decode_png(encode_png(dn))[:, :, 0], dn)
+
+
+def test_png_16bit_filtered_decode():
+    # hand-filtered 16-bit scanlines (sub at bpp=2, then up): the
+    # decoder's bytewise unfilter must reproduce the raw big-endian
+    # samples with the doubled pixel offset
+    import struct
+    import zlib
+
+    from rio_toa_spark.functions.png import PNG_SIGNATURE, decode_png
+    from rio_toa_spark.functions.png import _chunk
+
+    arr = np.array([[300, 70, 65535, 512], [256, 255, 1, 40000]], dtype=np.uint16)
+    h, w = arr.shape
+    be = arr.astype(">u2").tobytes()
+    rows = [np.frombuffer(be, np.uint8)[r * w * 2 : (r + 1) * w * 2].astype(int) for r in range(h)]
+    # row 0: filter 1 (sub), bpp = 2 bytes
+    r0 = rows[0].copy()
+    for i in range(len(r0) - 1, 1, -1):
+        r0[i] = (r0[i] - r0[i - 2]) & 0xFF
+    # row 1: filter 2 (up)
+    r1 = (rows[1] - rows[0]) & 0xFF
+    raw = bytes([1]) + bytes(r0.astype(np.uint8)) + bytes([2]) + bytes(r1.astype(np.uint8))
+    ihdr = struct.pack(">IIBBBBB", w, h, 16, 0, 0, 0, 0)
+    data = (
+        PNG_SIGNATURE
+        + _chunk(b"IHDR", ihdr)
+        + _chunk(b"IDAT", zlib.compress(raw))
+        + _chunk(b"IEND", b"")
+    )
+    assert np.array_equal(decode_png(data)[:, :, 0], arr)
+
+
+def test_decode_image_16bit_png_high_byte(spark):
+    # the uint8-contract operator keeps the high byte of 16-bit decodes
+    # and still reports a genuine decode
+    from rio_toa_spark.functions.png import encode_png
+
+    arr = np.arange(256, dtype=np.uint16).reshape(16, 16) * 257  # 0..65535
+    df = spark.createDataFrame([(1, encode_png(arr))], "media_id int, payload binary")
+    row = mm.decode_image(df).collect()[0]
+    assert row.decode_status == "genuine_png"
+    got = np.frombuffer(row.pixels, np.uint8).reshape(16, 16, 1)
+    assert np.array_equal(got[:, :, 0], (arr >> 8).astype(np.uint8))
