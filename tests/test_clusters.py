@@ -116,3 +116,24 @@ def test_clusters_storage_level_knob(spark):
         for r in duplicate_clusters(pairs, storage_level=StorageLevel.DISK_ONLY).collect()
     }
     assert got == {1: 1, 2: 1, 3: 1, 10: 10, 11: 10}
+
+
+def test_pointer_doubling_contract_at_adversarial_diameter(spark):
+    # scale guard for the O(log diameter) contract: a 4096-node chain
+    # (diameter 4095 — the worst case for label propagation; real
+    # near-dup graphs are near-cliques) must converge within
+    # 2*log2(n) = 24 rounds. A regression to one-hop propagation
+    # (e.g. dropping the shortcut self-join) would need ~4095 rounds
+    # and turn this into a max_iter ValueError.
+    n = 4096
+    pairs = spark.range(n - 1).select(
+        F.col("id").alias("a"), (F.col("id") + 1).alias("b")
+    )
+    labels = duplicate_clusters(pairs, max_iter=24)
+    agg = labels.agg(
+        F.countDistinct("label").alias("k"),
+        F.min("label").alias("lo"),
+        F.max("label").alias("hi"),
+        F.count("*").alias("n"),
+    ).collect()[0]
+    assert (agg.k, agg.lo, agg.hi, agg.n) == (1, 0, 0, n)
