@@ -18,6 +18,8 @@ Operators:
 * ``image_features``     — decoded pixels -> float feature vector
 * ``sample_video_frames``— binary video -> one row per sampled frame
                            (genuine RIFF/AVI parse + per-frame decode)
+* ``decode_audio``       — binary WAV -> PCM16 samples + rate/duration
+* ``audio_features``     — decoded samples -> rms/peak/zero-crossings
 """
 
 from __future__ import annotations
@@ -237,6 +239,110 @@ def image_features(decoded_df: DataFrame, key: str = "media_id") -> DataFrame:
                     np.concatenate([arr.mean(axis=(0, 1)), arr.std(axis=(0, 1))]).tolist()
                 )
             cols = {key: pdf[key], "features": feats}
+            if has_status:
+                cols["decode_status"] = pdf["decode_status"]
+            yield pd.DataFrame(cols)
+
+    return decoded_df.mapInPandas(run, schema)
+
+
+_AUDIO_FIELDS = [
+    T.StructField("n_samples", T.IntegerType()),
+    T.StructField("n_channels", T.IntegerType()),
+    T.StructField("sample_rate", T.IntegerType()),
+    T.StructField("samples", T.BinaryType()),  # int16 little-endian frames
+]
+
+
+def _fake_audio(payload: bytes, n: int = 8000) -> tuple[np.ndarray, int]:
+    """Deterministic stand-in for unparseable audio payloads: int16
+    mono seeded from the payload hash (the audio twin of
+    ``_fake_decode``)."""
+    import hashlib
+
+    seed = int.from_bytes(hashlib.md5(payload).digest()[:8], "little")
+    rng = np.random.default_rng(seed)
+    return rng.integers(-(1 << 15), 1 << 15, size=(n, 1), dtype=np.int16), 16_000
+
+
+def decode_audio(df: DataFrame, payload: str = "payload", key: str = "media_id") -> DataFrame:
+    """binary -> PCM16 sample buffer + rate, with decode provenance.
+
+    RIFF/WAVE payloads decode GENUINELY through the pure-struct PCM
+    parser (functions/wav.py — 8-bit widened to int16); anything else
+    (or any parse failure — the never-raises seam) falls back to the
+    deterministic stub with ``decode_status='stub'``."""
+    from rio_toa_spark.functions import wav as _wav
+
+    schema = T.StructType([df.schema[key]] + _AUDIO_FIELDS + [_STATUS_FIELD])
+
+    import struct as _struct
+
+    _PARSE_ERRORS = (ValueError, KeyError, IndexError, _struct.error)
+
+    def _decode_one(p: bytes) -> tuple[np.ndarray, int, str]:
+        if _wav.is_wav(bytes(p)):
+            try:
+                samples, rate = _wav.decode_wav(bytes(p))
+                return samples, rate, "genuine_wav"
+            except _PARSE_ERRORS:
+                pass
+        samples, rate = _fake_audio(p)
+        return samples, rate, "stub"
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            decoded = [_decode_one(p) for p in pdf[payload]]
+            yield pd.DataFrame(
+                {
+                    key: pdf[key],
+                    "n_samples": [s.shape[0] for s, _, _ in decoded],
+                    "n_channels": [s.shape[1] for s, _, _ in decoded],
+                    "sample_rate": [r for _, r, _ in decoded],
+                    "samples": [s.astype("<i2").tobytes() for s, _, _ in decoded],
+                    "decode_status": [st for _, _, st in decoded],
+                }
+            )
+
+    return df.mapInPandas(run, schema)
+
+
+def audio_features(decoded_df: DataFrame, key: str = "media_id") -> DataFrame:
+    """Per-channel RMS / peak / zero-crossing-rate features plus
+    duration from decoded PCM buffers; ``decode_status`` provenance,
+    when present, rides through."""
+    has_status = "decode_status" in decoded_df.columns
+    schema = T.StructType(
+        [
+            decoded_df.schema[key],
+            T.StructField("duration_s", T.DoubleType()),
+            T.StructField("features", T.ArrayType(T.FloatType())),
+        ]
+        + ([_STATUS_FIELD] if has_status else [])
+    )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            durs, feats = [], []
+            for row in pdf.itertuples(index=False):
+                s = np.frombuffer(row.samples, dtype="<i2").reshape(
+                    row.n_samples, row.n_channels
+                ).astype(np.float64)
+                durs.append(row.n_samples / float(row.sample_rate))
+                if row.n_samples:
+                    rms = np.sqrt((s**2).mean(axis=0))
+                    peak = np.abs(s).max(axis=0)
+                else:
+                    rms = peak = np.zeros(row.n_channels)
+                zcr = (
+                    np.abs(np.diff(np.signbit(s).astype(np.int8), axis=0)).mean(axis=0)
+                    if row.n_samples > 1
+                    else np.zeros(row.n_channels)
+                )
+                feats.append(
+                    np.concatenate([rms, peak, zcr]).astype(np.float32).tolist()
+                )
+            cols = {key: pdf[key], "duration_s": durs, "features": feats}
             if has_status:
                 cols["decode_status"] = pdf["decode_status"]
             yield pd.DataFrame(cols)
