@@ -304,22 +304,34 @@ def _knn_broadcast(points_df, tiles, k, lon, lat, point_key):
         T = len(tids)
         if T == 0:  # no centroids -> no neighbors (not an error)
             return
-        for pdf in batches:
-            px = pdf[lon].to_numpy()[:, None]
-            py = pdf[lat].to_numpy()[:, None]
-            # squared distance in place (2 temporaries, not 5); rank on
-            # d^2 (monotone), take sqrt only of the k selected values —
-            # sqrt(d^2) is the identical IEEE double as sorting on d
-            d2 = px - tx[None, :]
+        kk = min(k, T)
+        m = min(4 * kk, T - 1)
+        # cache blocking: an Arrow batch of ~10k points against T
+        # centroids materializes an (n x T) f64 distance matrix —
+        # ~0.5 GB at T=6k — and streams it through SIX elementwise +
+        # selection passes, making the kernel DRAM-bandwidth-bound
+        # (the worst scaler on a shared-memory box, BENCH.md). Points
+        # are processed in sub-blocks sized so the two (bs x T)
+        # temporaries stay L2/L3-resident across all passes: measured
+        # 2.6x single-thread at T=6144 (22.5s -> 8.7s / 100k points,
+        # flat from bs~170 down to 64) and a much flatter 2->8-core
+        # curve. Bitwise-neutral: every op is row-local, so blocking
+        # changes no IEEE result.
+        bs = max(32, (1 << 20) // T)
+
+        def topk_block(px, py):
+            # squared distance in place (2 temporaries, not 5); rank
+            # on d^2 (monotone), take sqrt only of the k selected
+            # values — sqrt(d^2) is the identical IEEE double as
+            # sorting on d
+            d2 = px[:, None] - tx[None, :]
             d2 *= d2
-            dy = py - ty[None, :]
+            dy = py[:, None] - ty[None, :]
             dy *= dy
             d2 += dy
-            kk = min(k, T)
             # top-k via argpartition (O(T)) instead of a full row sort
             # (O(T log T), 3x slower at T=384); deterministic
             # (dist, tile_id) order restored by a lexsort of the slice.
-            m = min(4 * kk, T - 1)
             part = np.argpartition(d2, m, axis=1)[:, : m + 1]
             vals = np.take_along_axis(d2, part, axis=1)
             fix = np.lexsort((part, vals), axis=1)[:, :kk]
@@ -338,15 +350,52 @@ def _knn_broadcast(points_df, tiles, k, lon, lat, point_key):
                     )[:, :kk]
                     order[risky] = full
                     svals[risky] = np.take_along_axis(d2[risky], full, axis=1)
-            n_pts = order.shape[0]
-            yield pd.DataFrame(
+            return order, svals
+
+        # input accumulation: the session caps Arrow batches at 256
+        # rows (sized for half-MB binary TILE rows, session.py) — for
+        # tiny page rows that is ~25k python batches per 6.4M points,
+        # and per-batch pandas/Arrow overhead (~ms) dwarfs the ~100µs
+        # of numpy compute. Coalesce incoming batches to ~8k-point
+        # chunks before running the blocked kernel; outputs flush at
+        # chunk granularity. Order within a partition is preserved and
+        # per-row results are independent, so accumulation is
+        # result-neutral.
+        target = max(bs, 8192)
+        buf: list[tuple[np.ndarray, np.ndarray, np.ndarray]] = []
+        buffered = 0
+
+        def flush():
+            keys = np.concatenate([b[0] for b in buf])
+            px = np.concatenate([b[1] for b in buf])
+            py = np.concatenate([b[2] for b in buf])
+            n = len(px)
+            orders, sv = [], []
+            for s in range(0, n, bs):
+                o, v = topk_block(px[s : s + bs], py[s : s + bs])
+                orders.append(o)
+                sv.append(v)
+            order = np.concatenate(orders) if orders else np.empty((0, kk), np.int64)
+            svals = np.concatenate(sv) if sv else np.empty((0, kk))
+            return pd.DataFrame(
                 {
-                    point_key: np.repeat(pdf[point_key].to_numpy(), kk),
+                    point_key: np.repeat(keys, kk),
                     "tile_id": tid_arr[order].ravel(),
                     "dist": np.sqrt(svals).ravel(),
-                    "rank": np.tile(np.arange(1, kk + 1), n_pts),
+                    "rank": np.tile(np.arange(1, kk + 1), n),
                 }
             )
+
+        for pdf in batches:
+            buf.append(
+                (pdf[point_key].to_numpy(), pdf[lon].to_numpy(), pdf[lat].to_numpy())
+            )
+            buffered += len(pdf)
+            if buffered >= target:
+                yield flush()
+                buf, buffered = [], 0
+        if buf:
+            yield flush()
 
     return points_df.mapInPandas(run, out_schema)
 
