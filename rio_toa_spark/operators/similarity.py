@@ -130,10 +130,16 @@ def cosine_topk_ivf(
     # (a 32x64-literal expression tree evaluated per row was measured
     # ~10x slower than BLAS here, and the gap widens with n_centroids)
     def assign_lists(batches):
+        from rio_toa_spark.operators.batching import coalesce_batches
+
         C = bc.value.T  # (dim, n_centroids)
-        for pdf in batches:
-            if not len(pdf):  # np.vstack raises on zero arrays
-                continue
+        # embedding rows are small: coalesce the 256-row Arrow batches
+        # so BLAS sees efficient matrix shapes and per-batch overhead
+        # amortizes. Safe for the exact ann_ivf oracle: batch-shape-
+        # dependent BLAS summation variation is bounded far below the
+        # >=1e-6 assignment margin the fixture asserts at generation
+        # (sources/truth.py).
+        for pdf in coalesce_batches(batches):
             V = np.vstack(pdf[vec].to_numpy())
             pdf = pdf.copy()
             # argmax of dot products; ties -> lowest list id (argmax

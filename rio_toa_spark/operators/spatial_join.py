@@ -215,8 +215,13 @@ def _pip_index_join(points_df, footprints_df, fp_id_cols, lon, lat):
     )
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from rio_toa_spark.operators.batching import coalesce_batches
+
         index, fp_payload = bc.value
-        for pdf in batches:
+        # page rows are tiny: coalesce the session's 256-row Arrow
+        # batches so the per-batch pandas/Arrow overhead amortizes
+        # (see operators/batching.py; row-independent, result-neutral)
+        for pdf in coalesce_batches(batches):
             pt_idx, box_ids = index.query_points(pdf[lon].to_numpy(), pdf[lat].to_numpy())
             left = pdf.iloc[pt_idx].reset_index(drop=True)
             for j, col in enumerate(fp_id_cols):
