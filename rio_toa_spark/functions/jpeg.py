@@ -741,21 +741,29 @@ def encode_jpeg(
     return bytes(out)
 
 
-def encode_jpeg_progressive(arr: np.ndarray, quality: int = 85) -> bytes:
+def encode_jpeg_progressive(
+    arr: np.ndarray, quality: int = 85, subsampling: str = "444"
+) -> bytes:
     """uint8 (H, W), (H, W, 1) or (H, W, 3) -> progressive (SOF2)
-    JPEG bytes, 4:4:4 only. Scan script: interleaved DC at Al=1, DC
+    JPEG bytes, 4:4:4 or 4:2:0 (the dominant shape of real web
+    progressive files). Scan script: interleaved DC at Al=1, DC
     refinement at Al=0 (successive approximation), then one full
-    spectral-selection AC scan (1..63, Al=0) per component — the
-    minimal script that exercises the decoder's interleaved-DC,
-    DC-refinement, and per-component AC band paths with real data.
-    (AC successive approximation is exercised by hand-built spec
-    fixtures in tests/test_jpeg.py; this encoder does not emit it.)"""
+    spectral-selection AC scan (1..63, Al=0) per component in its own
+    non-interleaved block raster — the minimal script that exercises
+    the decoder's interleaved-DC, DC-refinement, per-component AC
+    band, and (at 4:2:0) padded-vs-real block-grid paths with real
+    data. (AC successive approximation is exercised by hand-built
+    spec fixtures in tests/test_jpeg.py; this encoder does not emit
+    it.)"""
     arr = np.asarray(arr, dtype=np.uint8)
     if arr.ndim == 2:
         arr = arr[:, :, None]
     h, w, c = arr.shape
     if c not in (1, 3):
         raise ValueError("JPEG encoder supports 1 or 3 channels, got %d" % c)
+    if subsampling not in ("444", "420"):
+        raise ValueError("subsampling must be '444' or '420'")
+    sub2 = c == 3 and subsampling == "420"
     ql = _quality_scale(_K1_LUMA, quality)
     qc = _quality_scale(_K2_CHROMA, quality)
 
@@ -767,15 +775,18 @@ def encode_jpeg_progressive(arr: np.ndarray, quality: int = 85) -> bytes:
     if c == 3:
         out += seg(0xDB, bytes([1]) + bytes(qc.reshape(-1)[_ZZ].astype(np.uint8)))
     sof = bytearray([8]) + struct.pack(">HH", h, w) + bytes([c])
+    luma_hv = 0x22 if sub2 else 0x11
     for i in range(c):
-        sof += bytes([i + 1, 0x11, 0 if i == 0 else 1])
+        sof += bytes([i + 1, luma_hv if i == 0 else 0x11, 0 if i == 0 else 1])
     out += seg(0xC2, bytes(sof))
     for tc, th, (bits, values) in (
         (0, 0, _DC_LUMA), (1, 0, _AC_LUMA), (0, 1, _DC_CHROMA), (1, 1, _AC_CHROMA)
     )[: 2 if c == 1 else 4]:
         out += seg(0xC4, bytes([tc << 4 | th]) + bytes(bits) + bytes(values))
 
-    # quantized coefficients per component, zigzag order, block raster
+    # quantized coefficients per component, zigzag order, over each
+    # component's PADDED (MCU-grid) block raster; real_grid tracks the
+    # sub-rectangle of blocks the non-interleaved AC scans must cover
     if c == 3:
         f = arr.astype(np.float64)
         y = 0.299 * f[..., 0] + 0.587 * f[..., 1] + 0.114 * f[..., 2]
@@ -784,11 +795,32 @@ def encode_jpeg_progressive(arr: np.ndarray, quality: int = 85) -> bytes:
         planes = [(y, ql, 0), (cb, qc, 1), (cr, qc, 1)]
     else:
         planes = [(arr[..., 0].astype(np.float64), ql, 0)]
-    ph, pw = -(-h // 8) * 8, -(-w // 8) * 8
-    ny, nx = ph // 8, pw // 8
+
+    if sub2:
+        ph, pw = -(-h // 16) * 16, -(-w // 16) * 16
+        padded = []
+        yp = np.pad(planes[0][0], ((0, ph - h), (0, pw - w)), mode="edge")
+        padded.append((yp, ql))
+        for p, q, tid in planes[1:]:
+            p = np.pad(p, ((0, ph - h), (0, pw - w)), mode="edge")
+            padded.append((p.reshape(ph // 2, 2, pw // 2, 2).mean(axis=(1, 3)), q))
+        # real AC grids: luma ceil(h/8) x ceil(w/8) (may be smaller
+        # than the padded 16-aligned grid); chroma real == padded
+        real_grid = [(-(-h // 8), -(-w // 8))] + [
+            (-(-(-(-h // 2)) // 8), -(-(-(-w // 2)) // 8))
+        ] * 2
+    else:
+        ph, pw = -(-h // 8) * 8, -(-w // 8) * 8
+        padded = [
+            (np.pad(p, ((0, ph - h), (0, pw - w)), mode="edge"), q)
+            for p, q, tid in planes
+        ]
+        real_grid = [(ph // 8, pw // 8)] * c
+
     comp_zz = []
-    for p, q, tid in planes:
-        p = np.pad(p, ((0, ph - h), (0, pw - w)), mode="edge")
+    for p, q in padded:
+        hh, ww = p.shape
+        ny, nx = hh // 8, ww // 8
         blocks = p.reshape(ny, 8, nx, 8).transpose(0, 2, 1, 3) - 128.0
         coef = np.einsum("iu,yxij,jv->yxuv", _DCT_M, blocks, _DCT_M)
         qz = np.round(coef / q[None, None]).astype(np.int64)
@@ -804,43 +836,58 @@ def encode_jpeg_progressive(arr: np.ndarray, quality: int = 85) -> bytes:
         payload += bytes([ss, se, (ah << 4) | al])
         return seg(0xDA, bytes(payload))
 
+    def mcu_blocks():
+        """(comp_idx, by, bx) in T.81 interleaved MCU order."""
+        if not sub2:
+            ny, nx = comp_zz[0].shape[:2]
+            for by in range(ny):
+                for bx in range(nx):
+                    for ci in range(c):
+                        yield ci, by, bx
+        else:
+            for my in range(ph // 16):
+                for mx in range(pw // 16):
+                    for by in range(2):
+                        for bx in range(2):
+                            yield 0, my * 2 + by, mx * 2 + bx
+                    yield 1, my, mx
+                    yield 2, my, mx
+
     # scan 1: interleaved DC, Al=1 (coarse approximation)
     out += sos(list(range(c)), 0, 0, 0, 1)
     bw = _BitWriter()
     pred = [0] * c
-    for by in range(ny):
-        for bx in range(nx):
-            for ci in range(c):
-                tid = 0 if ci == 0 else 1
-                dc = int(comp_zz[ci][by, bx, 0]) >> 1  # point transform Al=1
-                diff = dc - pred[ci]
-                pred[ci] = dc
-                t = abs(diff).bit_length()
-                code, length = dc_codes[tid][t]
-                bw.write(code, length)
-                if t:
-                    v = diff if diff > 0 else diff + (1 << t) - 1
-                    bw.write(v & ((1 << t) - 1), t)
+    for ci, by, bx in mcu_blocks():
+        tid = 0 if ci == 0 else 1
+        dc = int(comp_zz[ci][by, bx, 0]) >> 1  # point transform Al=1
+        diff = dc - pred[ci]
+        pred[ci] = dc
+        t = abs(diff).bit_length()
+        code, length = dc_codes[tid][t]
+        bw.write(code, length)
+        if t:
+            v = diff if diff > 0 else diff + (1 << t) - 1
+            bw.write(v & ((1 << t) - 1), t)
     bw.flush()
     out += bw.out
 
     # scan 2: DC refinement to Al=0 — one raw bit per block
     out += sos(list(range(c)), 0, 0, 1, 0)
     bw = _BitWriter()
-    for by in range(ny):
-        for bx in range(nx):
-            for ci in range(c):
-                bw.write(int(comp_zz[ci][by, bx, 0]) & 1, 1)
+    for ci, by, bx in mcu_blocks():
+        bw.write(int(comp_zz[ci][by, bx, 0]) & 1, 1)
     bw.flush()
     out += bw.out
 
-    # scans 3..: per-component AC band 1..63 at Al=0 (EOB0 per block)
+    # scans 3..: per-component AC band 1..63 at Al=0 (EOB0 per block),
+    # non-interleaved raster over the component's REAL block grid
     for ci in range(c):
         tid = 0 if ci == 0 else 1
         out += sos([ci], 1, 63, 0, 0)
         bw = _BitWriter()
-        for by in range(ny):
-            for bx in range(nx):
+        nr, nc_ = real_grid[ci]
+        for by in range(nr):
+            for bx in range(nc_):
                 zz = comp_zz[ci][by, bx]
                 run = 0
                 last_nz = np.nonzero(zz[1:])[0]

@@ -274,3 +274,18 @@ def test_decode_image_operator_routes_progressive(spark):
     dec = np.frombuffer(row.pixels, np.uint8).reshape(16, 16, 3).astype(np.float64)
     psnr = 10 * np.log10(255.0**2 / max(np.mean((dec - img) ** 2), 1e-9))
     assert psnr > 26.0, psnr
+
+
+@pytest.mark.parametrize("shape", [(32, 32, 3), (24, 40, 3), (18, 21, 3)])
+def test_progressive_420_roundtrip_matches_baseline(shape):
+    """4:2:0 progressive — the dominant shape of real web progressive
+    JPEGs — must decode pixel-identical to the baseline 4:2:0 path
+    (same quantized coefficients; the odd-size cases exercise the
+    padded-MCU vs real block-grid divergence in luma AC scans)."""
+    rng = np.random.default_rng(77)
+    img = rng.integers(0, 256, size=shape, dtype=np.uint8)
+    base = jpeg.decode_jpeg(jpeg.encode_jpeg(img, quality=92, subsampling="420"))
+    prog = jpeg.decode_jpeg(
+        jpeg.encode_jpeg_progressive(img, quality=92, subsampling="420")
+    )
+    assert np.array_equal(base, prog)
