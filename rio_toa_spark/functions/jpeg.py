@@ -742,7 +742,10 @@ def encode_jpeg(
 
 
 def encode_jpeg_progressive(
-    arr: np.ndarray, quality: int = 85, subsampling: str = "444"
+    arr: np.ndarray,
+    quality: int = 85,
+    subsampling: str = "444",
+    restart_interval: int = 0,
 ) -> bytes:
     """uint8 (H, W), (H, W, 1) or (H, W, 3) -> progressive (SOF2)
     JPEG bytes, 4:4:4 or 4:2:0 (the dominant shape of real web
@@ -783,6 +786,8 @@ def encode_jpeg_progressive(
         (0, 0, _DC_LUMA), (1, 0, _AC_LUMA), (0, 1, _DC_CHROMA), (1, 1, _AC_CHROMA)
     )[: 2 if c == 1 else 4]:
         out += seg(0xC4, bytes([tc << 4 | th]) + bytes(bits) + bytes(values))
+    if restart_interval:
+        out += seg(0xDD, struct.pack(">H", restart_interval))
 
     # quantized coefficients per component, zigzag order, over each
     # component's PADDED (MCU-grid) block raster; real_grid tracks the
@@ -836,46 +841,65 @@ def encode_jpeg_progressive(
         payload += bytes([ss, se, (ah << 4) | al])
         return seg(0xDA, bytes(payload))
 
-    def mcu_blocks():
-        """(comp_idx, by, bx) in T.81 interleaved MCU order."""
+    def mcus():
+        """Lists of (comp_idx, by, bx) — one list per MCU, blocks in
+        T.81 interleaved order."""
         if not sub2:
             ny, nx = comp_zz[0].shape[:2]
             for by in range(ny):
                 for bx in range(nx):
-                    for ci in range(c):
-                        yield ci, by, bx
+                    yield [(ci, by, bx) for ci in range(c)]
         else:
             for my in range(ph // 16):
                 for mx in range(pw // 16):
-                    for by in range(2):
-                        for bx in range(2):
-                            yield 0, my * 2 + by, mx * 2 + bx
-                    yield 1, my, mx
-                    yield 2, my, mx
+                    yield (
+                        [(0, my * 2 + by, mx * 2 + bx) for by in range(2) for bx in range(2)]
+                        + [(1, my, mx), (2, my, mx)]
+                    )
+
+    def rst_boundary(bw, st):
+        """Emit RSTn (flushing the bit buffer) every restart_interval
+        units; returns True when a marker was emitted so DC scans can
+        reset their predictors. Unit = MCU for interleaved scans,
+        block for non-interleaved AC scans (T.81 E.1.4)."""
+        fired = bool(restart_interval) and st["i"] > 0 and st["i"] % restart_interval == 0
+        if fired:
+            bw.flush()
+            bw.out += bytes([0xFF, 0xD0 + (st["rst"] % 8)])
+            st["rst"] += 1
+        st["i"] += 1
+        return fired
 
     # scan 1: interleaved DC, Al=1 (coarse approximation)
     out += sos(list(range(c)), 0, 0, 0, 1)
     bw = _BitWriter()
     pred = [0] * c
-    for ci, by, bx in mcu_blocks():
-        tid = 0 if ci == 0 else 1
-        dc = int(comp_zz[ci][by, bx, 0]) >> 1  # point transform Al=1
-        diff = dc - pred[ci]
-        pred[ci] = dc
-        t = abs(diff).bit_length()
-        code, length = dc_codes[tid][t]
-        bw.write(code, length)
-        if t:
-            v = diff if diff > 0 else diff + (1 << t) - 1
-            bw.write(v & ((1 << t) - 1), t)
+    st = {"i": 0, "rst": 0}
+    for blocks in mcus():
+        if rst_boundary(bw, st):
+            pred = [0] * c
+        for ci, by, bx in blocks:
+            tid = 0 if ci == 0 else 1
+            dc = int(comp_zz[ci][by, bx, 0]) >> 1  # point transform Al=1
+            diff = dc - pred[ci]
+            pred[ci] = dc
+            t = abs(diff).bit_length()
+            code, length = dc_codes[tid][t]
+            bw.write(code, length)
+            if t:
+                v = diff if diff > 0 else diff + (1 << t) - 1
+                bw.write(v & ((1 << t) - 1), t)
     bw.flush()
     out += bw.out
 
     # scan 2: DC refinement to Al=0 — one raw bit per block
     out += sos(list(range(c)), 0, 0, 1, 0)
     bw = _BitWriter()
-    for ci, by, bx in mcu_blocks():
-        bw.write(int(comp_zz[ci][by, bx, 0]) & 1, 1)
+    st = {"i": 0, "rst": 0}
+    for blocks in mcus():
+        rst_boundary(bw, st)
+        for ci, by, bx in blocks:
+            bw.write(int(comp_zz[ci][by, bx, 0]) & 1, 1)
     bw.flush()
     out += bw.out
 
@@ -886,8 +910,10 @@ def encode_jpeg_progressive(
         out += sos([ci], 1, 63, 0, 0)
         bw = _BitWriter()
         nr, nc_ = real_grid[ci]
+        st = {"i": 0, "rst": 0}
         for by in range(nr):
             for bx in range(nc_):
+                rst_boundary(bw, st)
                 zz = comp_zz[ci][by, bx]
                 run = 0
                 last_nz = np.nonzero(zz[1:])[0]

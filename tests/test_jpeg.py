@@ -289,3 +289,49 @@ def test_progressive_420_roundtrip_matches_baseline(shape):
         jpeg.encode_jpeg_progressive(img, quality=92, subsampling="420")
     )
     assert np.array_equal(base, prog)
+
+
+@pytest.mark.parametrize("subsampling", ["444", "420"])
+def test_progressive_restart_markers(subsampling):
+    """RSTn inside progressive scans (DC predictor + EOBRUN resync,
+    per-MCU in interleaved scans and per-block in AC scans) must be
+    transparent: identical pixels vs the marker-free stream."""
+    rng = np.random.default_rng(5)
+    img = rng.integers(0, 256, size=(32, 48, 3), dtype=np.uint8)
+    plain = jpeg.decode_jpeg(
+        jpeg.encode_jpeg_progressive(img, quality=92, subsampling=subsampling)
+    )
+    rst = jpeg.decode_jpeg(
+        jpeg.encode_jpeg_progressive(
+            img, quality=92, subsampling=subsampling, restart_interval=3
+        )
+    )
+    assert np.array_equal(plain, rst)
+
+
+def test_decode_image_fuzzed_progressive_payloads(spark):
+    """Fuzz the progressive marker path through the REAL operator: a
+    valid SOF2 header followed by garbage scans must fall back to the
+    stub (never raise, never hang), and truly valid progressive
+    payloads among the batch must still decode genuinely."""
+    from rio_toa_spark.operators.multimodal import decode_image
+
+    rng = np.random.default_rng(4321)
+    good = jpeg.encode_jpeg_progressive(
+        rng.integers(0, 256, size=(16, 16, 3), dtype=np.uint8), quality=90
+    )
+    sos = good.find(b"\xff\xda")
+    payloads = [good]
+    for i in range(40):
+        cut = int(rng.integers(4, len(good)))
+        noise = rng.integers(0, 256, size=int(rng.integers(0, 200)), dtype=np.uint8).tobytes()
+        payloads.append(good[:cut] + noise)
+        payloads.append(good[:sos] + noise)  # valid headers, garbage scan
+    df = spark.createDataFrame(
+        [(i, p) for i, p in enumerate(payloads)], "media_id long, payload binary"
+    )
+    rows = {r.media_id: r for r in decode_image(df).collect()}
+    assert len(rows) == len(payloads)
+    assert rows[0].decode_status == "genuine_jpeg"
+    for r in rows.values():
+        assert len(r.pixels) == r.height * r.width * r.channels
