@@ -93,44 +93,25 @@ def _unfilter_row(ftype: int, row: np.ndarray, prev: np.ndarray, bpp: int) -> np
     raise ValueError("unknown PNG filter type %d" % ftype)
 
 
-def decode_png(data: bytes) -> np.ndarray:
-    """PNG bytes -> (H, W, C) array: uint8 for depth 8, uint16 for
-    depth 16. Color types 0/2/4/6, non-interlaced; all five scanline
-    filters handled (bytewise, bpp = bytes per pixel)."""
-    if data[:8] != PNG_SIGNATURE:
-        raise ValueError("not a PNG (bad signature)")
-    pos = 8
-    idat: list[bytes] = []
-    meta = None
-    while pos + 8 <= len(data):
-        (length,) = struct.unpack(">I", data[pos : pos + 4])
-        tag = data[pos + 4 : pos + 8]
-        body = data[pos + 8 : pos + 8 + length]
-        pos += 12 + length
-        if tag == b"IHDR":
-            w, h, depth, color, comp, filt, interlace = struct.unpack(">IIBBBBB", body)
-            if depth not in (8, 16):
-                raise NotImplementedError("only 8/16-bit PNG supported (depth=%d)" % depth)
-            if interlace != 0:
-                raise NotImplementedError("interlaced PNG not supported")
-            if color not in _COLOR_TO_CHANNELS:
-                raise NotImplementedError("palette PNG not supported (color=%d)" % color)
-            meta = (w, h, _COLOR_TO_CHANNELS[color], depth)
-        elif tag == b"IDAT":
-            idat.append(body)
-        elif tag == b"IEND":
-            break
-    if meta is None or not idat:
-        raise ValueError("truncated PNG (missing IHDR/IDAT)")
-    w, h, c, depth = meta
-    bpp = c * depth // 8  # filters operate on bytes, offset by bpp
-    raw = zlib.decompress(b"".join(idat))
-    stride = w * bpp
-    if len(raw) != h * (stride + 1):
+# Adam7 interlace pass layout: (x_start, y_start, x_step, y_step)
+_ADAM7 = [
+    (0, 0, 8, 8), (4, 0, 8, 8), (0, 4, 4, 8), (2, 0, 4, 4),
+    (0, 2, 2, 4), (1, 0, 2, 2), (0, 1, 1, 2),
+]
+
+
+def _unfilter_image(raw: bytes, off: int, w: int, h: int, c: int, depth: int):
+    """Unfilter h scanlines of a (sub-)image starting at raw[off];
+    returns (uint8 (h, stride) byte matrix, new offset). Filters are
+    BYTEWISE with bpp = bytes per pixel rounded up to 1 — for packed
+    sub-8-bit rows bpp is 1, per spec."""
+    bpp = max(1, c * depth // 8)
+    stride = (w * c * depth + 7) // 8
+    need = h * (stride + 1)
+    if off + need > len(raw):
         raise ValueError("PNG payload size mismatch")
     out = np.empty((h, stride), dtype=np.uint8)
     prev = np.zeros(stride, dtype=np.uint8)
-    off = 0
     for r in range(h):
         ftype = raw[off]
         off += 1
@@ -138,10 +119,112 @@ def decode_png(data: bytes) -> np.ndarray:
         off += stride
         prev = _unfilter_row(ftype, row, prev, bpp)
         out[r] = prev
+    return out, off
+
+
+def _unpack_samples(bytemat: np.ndarray, w: int, c: int, depth: int) -> np.ndarray:
+    """(h, stride) unfiltered bytes -> (h, w, c) samples (uint8, or
+    uint16 for depth 16; sub-8-bit values are raw, NOT yet scaled)."""
+    h = bytemat.shape[0]
     if depth == 16:
         return (
-            np.frombuffer(out.tobytes(), dtype=">u2")
+            np.frombuffer(np.ascontiguousarray(bytemat).tobytes(), dtype=">u2")
             .astype(np.uint16)
             .reshape(h, w, c)
         )
-    return out.reshape(h, w, c)
+    if depth == 8:
+        return bytemat[:, : w * c].reshape(h, w, c)
+    # packed 1/2/4-bit samples, MSB-first within each byte
+    bits = np.unpackbits(bytemat, axis=1)[:, : w * c * depth]
+    weights = 1 << np.arange(depth - 1, -1, -1)
+    vals = bits.reshape(h, w * c, depth) @ weights
+    return vals.astype(np.uint8).reshape(h, w, c)
+
+
+def decode_png(data: bytes) -> np.ndarray:
+    """PNG bytes -> (H, W, C) array: uint8 (uint16 for depth-16
+    grey/truecolor). Color types 0/2/3/4/6 — including palette with
+    optional tRNS alpha (-> RGBA) and packed sub-8-bit depths (grey
+    scaled to the 8-bit range) — both sequential and Adam7-interlaced;
+    all five scanline filters handled (bytewise, bpp = bytes per
+    pixel)."""
+    if data[:8] != PNG_SIGNATURE:
+        raise ValueError("not a PNG (bad signature)")
+    pos = 8
+    idat: list[bytes] = []
+    meta = None
+    plte = None
+    trns = None
+    while pos + 8 <= len(data):
+        (length,) = struct.unpack(">I", data[pos : pos + 4])
+        tag = data[pos + 4 : pos + 8]
+        body = data[pos + 8 : pos + 8 + length]
+        pos += 12 + length
+        if tag == b"IHDR":
+            w, h, depth, color, comp, filt, interlace = struct.unpack(">IIBBBBB", body)
+            if color == 3:
+                if depth not in (1, 2, 4, 8):
+                    raise ValueError("bad palette PNG depth %d" % depth)
+                c = 1
+            elif color in _COLOR_TO_CHANNELS:
+                c = _COLOR_TO_CHANNELS[color]
+                if depth not in (8, 16) and not (color == 0 and depth in (1, 2, 4)):
+                    raise NotImplementedError(
+                        "unsupported PNG depth %d for color type %d" % (depth, color)
+                    )
+            else:
+                raise ValueError("bad PNG color type %d" % color)
+            if interlace not in (0, 1):
+                raise ValueError("bad PNG interlace method %d" % interlace)
+            meta = (w, h, c, depth, color, interlace)
+        elif tag == b"PLTE":
+            if len(body) % 3:
+                raise ValueError("PLTE length not a multiple of 3")
+            plte = np.frombuffer(body, dtype=np.uint8).reshape(-1, 3)
+        elif tag == b"tRNS":
+            trns = np.frombuffer(body, dtype=np.uint8)
+        elif tag == b"IDAT":
+            idat.append(body)
+        elif tag == b"IEND":
+            break
+    if meta is None or not idat:
+        raise ValueError("truncated PNG (missing IHDR/IDAT)")
+    w, h, c, depth, color, interlace = meta
+    raw = zlib.decompress(b"".join(idat))
+
+    if interlace == 0:
+        bytemat, off = _unfilter_image(raw, 0, w, h, c, depth)
+        if off != len(raw):
+            raise ValueError("PNG payload size mismatch")
+        samples = _unpack_samples(bytemat, w, c, depth)
+    else:
+        # Adam7: seven independently-filtered sub-images scattered
+        # onto the output grid; empty passes carry no scanlines
+        samples = np.zeros((h, w, c), dtype=np.uint16 if depth == 16 else np.uint8)
+        off = 0
+        for x0, y0, dx, dy in _ADAM7:
+            wp = (w - x0 + dx - 1) // dx
+            hp = (h - y0 + dy - 1) // dy
+            if wp <= 0 or hp <= 0:
+                continue
+            bytemat, off = _unfilter_image(raw, off, wp, hp, c, depth)
+            samples[y0::dy, x0::dx] = _unpack_samples(bytemat, wp, c, depth)
+        if off != len(raw):
+            raise ValueError("PNG payload size mismatch")
+
+    if color == 3:
+        if plte is None:
+            raise ValueError("palette PNG missing PLTE chunk")
+        idx = samples[:, :, 0].astype(np.int64)
+        if idx.max() >= len(plte):
+            raise ValueError("palette index out of range")
+        rgb = plte[idx]
+        if trns is not None:
+            alpha = np.full(len(plte), 255, dtype=np.uint8)
+            alpha[: len(trns)] = trns
+            return np.concatenate([rgb, alpha[idx][:, :, None]], axis=2)
+        return rgb
+    if color == 0 and depth < 8:
+        # scale packed grey to the full 8-bit range (255 / (2^d - 1))
+        return (samples.astype(np.uint16) * (255 // ((1 << depth) - 1))).astype(np.uint8)
+    return samples

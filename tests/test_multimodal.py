@@ -277,3 +277,110 @@ def test_decode_image_16bit_png_high_byte(spark):
     assert row.decode_status == "genuine_png"
     got = np.frombuffer(row.pixels, np.uint8).reshape(16, 16, 1)
     assert np.array_equal(got[:, :, 0], (arr >> 8).astype(np.uint8))
+
+
+def _png_fixture(w, h, depth, color, raw, extra=b""):
+    import struct
+    import zlib
+
+    from rio_toa_spark.functions.png import PNG_SIGNATURE, _chunk
+
+    ihdr = struct.pack(">IIBBBBB", w, h, depth, color, 0, 0, 0)
+    return (
+        PNG_SIGNATURE
+        + _chunk(b"IHDR", ihdr)
+        + extra
+        + _chunk(b"IDAT", zlib.compress(raw))
+        + _chunk(b"IEND", b"")
+    )
+
+
+def test_png_palette_decode():
+    # 8-bit palette: indices map through PLTE; with tRNS -> RGBA
+    from rio_toa_spark.functions.png import _chunk, decode_png
+
+    plte = bytes([255, 0, 0, 0, 255, 0, 0, 0, 255, 7, 8, 9])
+    idx = np.array([[0, 1, 2], [3, 2, 0]], dtype=np.uint8)
+    raw = b"".join(b"\x00" + r.tobytes() for r in idx)
+    data = _png_fixture(3, 2, 8, 3, raw, extra=_chunk(b"PLTE", plte))
+    got = decode_png(data)
+    pal = np.frombuffer(plte, np.uint8).reshape(4, 3)
+    assert np.array_equal(got, pal[idx])
+    # + tRNS: first two entries translucent, rest default opaque
+    data_a = _png_fixture(
+        3, 2, 8, 3, raw, extra=_chunk(b"PLTE", plte) + _chunk(b"tRNS", bytes([10, 20]))
+    )
+    got_a = decode_png(data_a)
+    assert got_a.shape == (2, 3, 4)
+    alpha = np.array([10, 20, 255, 255], np.uint8)
+    assert np.array_equal(got_a[:, :, 3], alpha[idx])
+    assert np.array_equal(got_a[:, :, :3], pal[idx])
+
+
+def test_png_palette_4bit_packed():
+    # 4-bit palette indices pack two per byte, MSB-first
+    from rio_toa_spark.functions.png import _chunk, decode_png
+
+    plte = b"".join(bytes([i * 16, i * 8, i]) for i in range(16))
+    idx = np.array([[1, 15, 3, 7, 2]], dtype=np.uint8)  # 5 px -> 3 bytes/row
+    packed = bytes([0x1F, 0x37, 0x20])
+    data = _png_fixture(5, 1, 4, 3, b"\x00" + packed, extra=_chunk(b"PLTE", plte))
+    got = decode_png(data)
+    pal = np.frombuffer(plte, np.uint8).reshape(16, 3)
+    assert np.array_equal(got, pal[idx])
+
+
+def test_png_grey_sub8_scaled():
+    # 1-bit: 0/1 -> 0/255; 4-bit: v -> v*17
+    from rio_toa_spark.functions.png import decode_png
+
+    bits = np.array([[1, 0, 1, 1, 0, 0, 1, 0, 1, 1]], dtype=np.uint8)  # 10 px
+    packed = np.packbits(bits, axis=1).tobytes()
+    got = decode_png(_png_fixture(10, 1, 1, 0, b"\x00" + packed))
+    assert np.array_equal(got[:, :, 0], bits * 255)
+    nib = np.array([[0, 5, 15, 9]], dtype=np.uint8)
+    packed4 = bytes([0x05, 0xF9])
+    got4 = decode_png(_png_fixture(4, 1, 4, 0, b"\x00" + packed4))
+    assert np.array_equal(got4[:, :, 0], nib * 17)
+
+
+@pytest.mark.parametrize("shape", [(16, 16), (13, 9), (3, 3), (1, 10)])
+def test_png_adam7_interlaced_decode(shape):
+    # build an Adam7 stream test-side (filter-0 scanlines per pass,
+    # empty passes omitted) and require bitwise recovery
+    import zlib
+
+    from rio_toa_spark.functions.png import _ADAM7, decode_png
+
+    h, w = shape
+    rng = np.random.default_rng(h * 100 + w)
+    arr = rng.integers(0, 256, size=(h, w, 3), dtype=np.uint8)
+    raw = bytearray()
+    for x0, y0, dx, dy in _ADAM7:
+        sub = arr[y0::dy, x0::dx]
+        if sub.size == 0:
+            continue
+        for r in range(sub.shape[0]):
+            raw += b"\x00" + sub[r].tobytes()
+    import struct as _s
+
+    from rio_toa_spark.functions.png import PNG_SIGNATURE, _chunk
+
+    ihdr = _s.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 1)  # interlace=1
+    data = (
+        PNG_SIGNATURE
+        + _chunk(b"IHDR", ihdr)
+        + _chunk(b"IDAT", zlib.compress(bytes(raw)))
+        + _chunk(b"IEND", b"")
+    )
+    assert np.array_equal(decode_png(data), arr)
+
+
+def test_png_palette_index_out_of_range_raises():
+    from rio_toa_spark.functions.png import _chunk, decode_png
+
+    plte = bytes([1, 2, 3])  # one entry
+    raw = b"\x00" + bytes([4])  # index 4 > palette
+    data = _png_fixture(1, 1, 8, 3, raw, extra=_chunk(b"PLTE", plte))
+    with pytest.raises(ValueError, match="palette index"):
+        decode_png(data)
