@@ -9,6 +9,7 @@ via ``spark-submit --py-files``.
     python -m rio_toa_spark.cli pipjoin    PAGES SCENES DST [--strategy broadcast]
     python -m rio_toa_spark.cli dedup      DOCS DST [--threshold 0.8]
     python -m rio_toa_spark.cli sample     DOCS DST (--rate R | --mixture dom=w,dom=w)
+    python -m rio_toa_spark.cli media      MEDIA DST [--thumb 8]
 
 TILES/SCENES/PAGES are parquet paths (tables per sources/fixtures
 schemas); DST is a parquet output directory; with --resume it is written
@@ -232,6 +233,54 @@ def cmd_sample(args):
     print(json.dumps({"input": int(obs_in.get["n_in"]), "kept": int(obs.get["n_kept"])}))
 
 
+def cmd_media(args):
+    """Multimodal feature extraction: binary payloads -> genuine
+    decode (PNG/JPEG incl. progressive; labeled stub fallback) ->
+    nearest-neighbor thumbnail -> per-channel mean/std features.
+    Prints a decode-provenance summary as JSON — the counts ride the
+    ONE write job via Observation, so a 100 TB run learns its
+    genuine-vs-fallback decode mix for free."""
+    from pyspark.sql import Observation
+    from pyspark.sql import functions as F
+
+    from rio_toa_spark.operators.multimodal import (
+        decode_image,
+        image_features,
+        resize_image,
+    )
+
+    spark = _spark(args)
+    media = spark.read.parquet(args.media)
+    feats = image_features(
+        resize_image(
+            decode_image(media, payload=args.payload, key=args.key),
+            out_h=args.thumb,
+            out_w=args.thumb,
+            key=args.key,
+        ),
+        key=args.key,
+    )
+    obs = Observation()
+    observed = feats.observe(
+        obs,
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("decode_status").startswith("genuine").cast("long")).alias("n_genuine"),
+        F.sum((F.col("decode_status") == "pil").cast("long")).alias("n_pil"),
+        F.sum((F.col("decode_status") == "stub").cast("long")).alias("n_stub"),
+    )
+    _write(observed, args.dst, (), args=args)
+    print(
+        json.dumps(
+            {
+                "input": int(obs.get["n"]),
+                "genuine": int(obs.get["n_genuine"]),
+                "pil": int(obs.get["n_pil"]),
+                "stub": int(obs.get["n_stub"]),
+            }
+        )
+    )
+
+
 def cmd_pipjoin(args):
     from rio_toa_spark.operators.spatial_join import pip_join, scene_footprints
 
@@ -332,6 +381,18 @@ def main(argv=None):
     p.add_argument("--key", default="doc_id")
     p.add_argument("--seed", type=int, default=0)
     p.set_defaults(fn=cmd_sample)
+
+    p = sub.add_parser(
+        "media",
+        help="decode image payloads (genuine codecs, labeled stub "
+        "fallback) -> thumbnails -> features; prints provenance counts",
+    )
+    p.add_argument("media")
+    p.add_argument("dst")
+    p.add_argument("--key", default="media_id")
+    p.add_argument("--payload", default="payload")
+    p.add_argument("--thumb", type=int, default=8)
+    p.set_defaults(fn=cmd_media)
 
     p = sub.add_parser("pipjoin")
     p.add_argument("pages")

@@ -125,3 +125,28 @@ def test_sample_video_frames_corrupt_avi_falls_back(spark):
         assert r.decode_status == "stub"
         payload = bad_walk if r.media_id == 1 else bad_codec
         assert bytes(r.pixels) == mm._fake_decode(payload + bytes([r.frame_idx])).tobytes()
+
+
+def test_avi_ignores_interleaved_audio_chunks():
+    # real AVIs interleave audio ('01wb') between video frames; the
+    # frame walk must skip them without losing stream order
+    import struct
+
+    frames = [encode_png(f) for f in _frames(n=3)]
+    base = encode_avi(frames, 24, 24, fourcc=b"MPNG")
+    # splice audio chunks into the movi list: rebuild movi payload
+    movi_at = base.find(b"LIST", 12)
+    while base[movi_at + 8 : movi_at + 12] != b"movi":
+        movi_at = base.find(b"LIST", movi_at + 4)
+    audio = b"01wb" + struct.pack("<I", 6) + b"abcdef"
+    chunks = b""
+    for f in frames:
+        pad = b"\x00" if len(f) % 2 else b""
+        chunks += audio + b"00dc" + struct.pack("<I", len(f)) + f + pad
+    payload = b"movi" + chunks
+    movi = b"LIST" + struct.pack("<I", len(payload)) + payload
+    (old_sz,) = struct.unpack_from("<I", base, movi_at + 4)
+    rebuilt = base[:movi_at] + movi + base[movi_at + 8 + old_sz :]
+    rebuilt = rebuilt[:4] + struct.pack("<I", len(rebuilt) - 8) + rebuilt[8:]
+    got = avi_frames(rebuilt)
+    assert got == frames

@@ -298,3 +298,40 @@ def test_cli_sample_rate_single_pass(spark, tmp_path, capsys, monkeypatch):
     # --rate is a pure map-side filter and BOTH counts ride the write
     # via Observations: zero count() actions, one job total
     assert len(counted) == 0, "sample ran %d count() actions; want 0" % len(counted)
+
+
+def test_cli_media_features_and_provenance(spark, tmp_path, capsys):
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from rio_toa_spark.functions.jpeg import encode_jpeg_progressive
+    from rio_toa_spark.functions.png import encode_png
+
+    rng = np.random.default_rng(8)
+    payloads = [
+        encode_png(rng.integers(0, 256, size=(16, 16, 3), dtype=np.uint8)),
+        encode_jpeg_progressive(
+            rng.integers(0, 256, size=(16, 16, 3), dtype=np.uint8), quality=90
+        ),
+        b"not an image",
+    ]
+    src = tmp_path / "media.parquet"
+    pq.write_table(
+        pa.table(
+            {
+                "media_id": pa.array([0, 1, 2], pa.int64()),
+                "payload": pa.array(payloads, pa.binary()),
+            }
+        ),
+        src,
+    )
+    cli.main(["media", str(src), str(tmp_path / "out")])
+    stats = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert stats == {"input": 3, "genuine": 2, "pil": 0, "stub": 1}
+    out = spark.read.parquet(str(tmp_path / "out"))
+    rows = {r.media_id: r for r in out.collect()}
+    assert set(rows) == {0, 1, 2}
+    assert len(rows[0].features) == 6
+    assert rows[1].decode_status == "genuine_jpeg"
+    assert rows[2].decode_status == "stub"

@@ -384,3 +384,31 @@ def test_png_palette_index_out_of_range_raises():
     data = _png_fixture(1, 1, 8, 3, raw, extra=_chunk(b"PLTE", plte))
     with pytest.raises(ValueError, match="palette index"):
         decode_png(data)
+
+
+def test_png_adam7_16bit():
+    # interlacing composes with 16-bit samples (big-endian, 2-byte bpp)
+    import struct as _s
+    import zlib
+
+    from rio_toa_spark.functions.png import PNG_SIGNATURE, _ADAM7, _chunk, decode_png
+
+    rng = np.random.default_rng(99)
+    arr = rng.integers(0, 65536, size=(9, 6, 1), dtype=np.uint16)
+    raw = bytearray()
+    for x0, y0, dx, dy in _ADAM7:
+        sub = arr[y0::dy, x0::dx]
+        if sub.size == 0:
+            continue
+        for r in range(sub.shape[0]):
+            raw += b"\x00" + sub[r].astype(">u2").tobytes()
+    ihdr = _s.pack(">IIBBBBB", 6, 9, 16, 0, 0, 0, 1)
+    data = (
+        PNG_SIGNATURE
+        + _chunk(b"IHDR", ihdr)
+        + _chunk(b"IDAT", zlib.compress(bytes(raw)))
+        + _chunk(b"IEND", b"")
+    )
+    got = decode_png(data)
+    assert got.dtype == np.uint16
+    assert np.array_equal(got, arr)
