@@ -655,6 +655,17 @@ def _frames_truth_sql() -> str:
     )
 
 
+def _audio_truth_sql() -> str:
+    # pre-encode feature values (WAV PCM is lossless; the generator
+    # never calls the codec) + the pinned genuine-decode status
+    return (
+        "SELECT media_id, duration_s, feature_idx, "
+        "round(CAST(value AS DOUBLE), 6) AS value, "
+        "'genuine_wav' AS decode_status FROM read_parquet('%s')"
+        % _fixture_paths()["audio_truth"]
+    )
+
+
 def _ann_truth_sql() -> str:
     # expected IVF (q_id, vec_id, rank) re-derived driver-side by the
     # generator with the identical deterministic centroid build and
@@ -1275,26 +1286,52 @@ FROM v LEFT JOIN c ON v.user_id = c.user_id LEFT JOIN p ON v.user_id = p.user_id
 """
 
 
-def _q_json_props(spark, sf_dir):
-    # JSON-function surface: extract the numeric k from the props JSON
-    # string and bucket-aggregate it
-    e = _t(spark, sf_dir, "events")
-    k = F.get_json_object("props", "$.k").cast("int")
-    return (
-        e.select("event_type", k.alias("k"))
-        .where(F.col("k").isNotNull())
-        .groupBy("event_type", (F.col("k") % 10).alias("k_mod"))
-        .agg(F.count("*").alias("n"), F.sum("k").alias("k_sum"))
+def _q_media_audio(spark, sf_dir):
+    # GENUINE audio decode end to end: PCM16 WAV payloads are minted
+    # executor-side from seeded int16 sample arrays (1- and 2-channel,
+    # varying lengths), then decode_audio PARSES the RIFF/WAVE
+    # container (functions/wav.py) and audio_features computes
+    # per-channel rms/peak/zero-crossing-rate. EXACT oracle via
+    # generator ground truth: WAV PCM is lossless, so the generator
+    # re-derives every feature from the PRE-ENCODE samples
+    # (sources/truth.py:audio_truth — no codec calls), and the twin
+    # pins decode_status='genuine_wav' so a stub fallback
+    # hash-mismatches. (Replaced json_props under the 50-query cap:
+    # the Spark JSON-function surface stays attested by json_struct,
+    # which covers from_json/json_tuple/get_json_object semantics.)
+    import numpy as np
+    import pandas as pd
+
+    from rio_toa_spark.operators.multimodal import audio_features, decode_audio
+
+    d = spark.range(48).select(F.col("id").alias("media_id"))
+
+    def mint(batches):
+        from rio_toa_spark.functions.wav import encode_wav
+
+        for pdf in batches:
+            payloads = []
+            for mid in pdf["media_id"]:
+                n = 800 + 37 * int(mid)
+                ch = 1 + int(mid) % 2
+                s = np.random.default_rng(7000 + int(mid)).integers(
+                    -(1 << 15), 1 << 15, size=(n, ch), dtype=np.int16
+                )
+                payloads.append(encode_wav(s, sample_rate=16_000))
+            yield pd.DataFrame({"media_id": pdf["media_id"], "payload": payloads})
+
+    wavs = d.mapInPandas(mint, "media_id long, payload binary")
+    feats = audio_features(decode_audio(wavs))
+    return feats.select(
+        "media_id", "duration_s", "decode_status",
+        F.posexplode("features").alias("feature_idx", "value"),
+    ).select(
+        "media_id",
+        "duration_s",
+        "feature_idx",
+        F.round(F.col("value").cast("double"), 6).alias("value"),
+        "decode_status",
     )
-
-
-_JSON_SQL = """
-SELECT event_type, CAST(json_extract(props, '$.k') AS INTEGER) % 10 AS k_mod,
-  COUNT(*) AS n,
-  CAST(SUM(CAST(json_extract(props, '$.k') AS INTEGER)) AS BIGINT) AS k_sum
-FROM events WHERE json_extract(props, '$.k') IS NOT NULL
-GROUP BY 1, 2
-"""
 
 
 def _q_json_struct(spark, sf_dir):
@@ -1857,7 +1894,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "antijoin_customers": _q_antijoin_customers,
         "date_buckets": _q_date_buckets,
         "string_funcs": _q_string_funcs,
-        "json_props": _q_json_props,
+        "media_audio": _q_media_audio,
         "sessionize": _q_sessionize,
         "funnel_events": _q_funnel_events,
         "media_describe": _q_media_describe,
@@ -1943,7 +1980,7 @@ def oracle_sql() -> dict[str, str]:
         "date_buckets": _DATE_SQL,
         "string_funcs": _STRING_SQL,
         "funnel_events": _FUNNEL_SQL,
-        "json_props": _JSON_SQL,
+        "media_audio": _audio_truth_sql(),
         "media_describe": _MEDIA_SQL,
         "sessionize": __import__("rio_toa_spark.operators.sessions", fromlist=["x"]).SESSIONIZE_ORACLE_SQL.format(gap_s=1800),
         # formerly rows-only, now exact-twinned

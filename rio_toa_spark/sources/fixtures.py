@@ -426,12 +426,13 @@ def ensure_fixtures(
             "toa_truth",
             "media_truth",
             "frames_truth",
+            "audio_truth",
             "embeddings",
             "ann_truth",
         ):
             paths[name] = os.path.join(out_dir, "%s.parquet" % name)
     marker = os.path.join(
-        out_dir, ".fixtures-v6-%d-%d-%d-%d" % (n_scenes, grid, tile_size, n_pages)
+        out_dir, ".fixtures-v7-%d-%d-%d-%d" % (n_scenes, grid, tile_size, n_pages)
     )
     if os.path.exists(marker) and all(os.path.exists(p) for p in paths.values()):
         return paths
@@ -455,6 +456,7 @@ def ensure_fixtures(
         pq.write_table(truth.toa_truth(scenes, tiles), paths["toa_truth"])
         pq.write_table(truth.media_truth(), paths["media_truth"])
         pq.write_table(truth.frames_truth(), paths["frames_truth"])
+        pq.write_table(truth.audio_truth(), paths["audio_truth"])
         emb = truth.embeddings_arrow()
         # splittable scan for the ANN queries (same rationale as tiles)
         pq.write_table(emb, paths["embeddings"], row_group_size=max(64, emb.num_rows // 32))

@@ -218,6 +218,45 @@ def frames_truth(n_media: int = 32, n_frames: int = 4, total: int = 10) -> pa.Ta
     )
 
 
+def audio_truth(n_media: int = 48) -> pa.Table:
+    """Expected (media_id, duration_s, feature_idx, value) for the
+    media_audio driver query: the query mints PCM16 WAV payloads from
+    seeded int16 sample arrays (rng(7000+media_id), n=800+37*media_id
+    samples, 1 or 2 channels) and runs decode_audio -> audio_features.
+    WAV PCM is lossless, so the expected per-channel rms/peak/zcr
+    features are re-derived here from the PRE-ENCODE samples with the
+    identical numpy ops — this builder calls NO codec; a green row
+    proves the RIFF/WAVE parse and the feature kernel end to end."""
+    mids, durs, idxs, vals = [], [], [], []
+    for mid in range(n_media):
+        n = 800 + 37 * mid
+        ch = 1 + mid % 2
+        s = np.random.default_rng(7000 + mid).integers(
+            -(1 << 15), 1 << 15, size=(n, ch), dtype=np.int16
+        )
+        f = s.astype(np.float64)
+        feats = np.concatenate(
+            [
+                np.sqrt((f**2).mean(axis=0)),
+                np.abs(f).max(axis=0),
+                np.abs(np.diff(np.signbit(f).astype(np.int8), axis=0)).mean(axis=0),
+            ]
+        ).astype(np.float32)
+        for i, v in enumerate(feats):
+            mids.append(mid)
+            durs.append(n / 16_000.0)
+            idxs.append(i)
+            vals.append(v)
+    return pa.table(
+        {
+            "media_id": pa.array(mids, pa.int64()),
+            "duration_s": pa.array(durs, pa.float64()),
+            "feature_idx": pa.array(idxs, pa.int32()),
+            "value": pa.array(np.array(vals, dtype=np.float32), pa.float32()),
+        }
+    )
+
+
 # ------------------------------------------------------------- ANN truth
 
 
