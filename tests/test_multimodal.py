@@ -1,6 +1,6 @@
-"""Multimodal plumbing: typed metadata, stubbed decode, resize,
-features, frame sampling — schema/batch shapes are the real contract
-(the decoder itself is a documented deterministic stub)."""
+"""Multimodal plumbing: typed metadata, genuine PNG/JPEG/AVI/WAV
+decodes with labeled stub fallback, resize, features, frame sampling —
+plus the PNG codec's palette / sub-8-bit / Adam7 / 16-bit fixtures."""
 
 import numpy as np
 import pytest

@@ -104,3 +104,66 @@ def test_rescale_clip_respects_dtype_range(vals, dtype):
 def test_png_roundtrip_random_shapes(h, w, c, seed):
     arr = np.random.default_rng(seed).integers(0, 256, size=(h, w, c), dtype=np.uint8)
     assert np.array_equal(decode_png(encode_png(arr)), arr)
+
+
+@given(
+    st.integers(1, 12),
+    st.integers(1, 12),
+    st.integers(1, 4),
+    st.sampled_from([np.uint8, np.uint16]),
+    st.integers(0, 2**31 - 1),
+)
+@settings(max_examples=40, deadline=None)
+def test_png_roundtrip_property(h, w, c, dtype, seed):
+    """encode->decode is the identity for every shape/channel/depth."""
+    rng = np.random.default_rng(seed)
+    hi = 256 if dtype == np.uint8 else 65536
+    arr = rng.integers(0, hi, size=(h, w, c), dtype=dtype)
+    out = decode_png(encode_png(arr))
+    assert out.dtype == dtype
+    assert np.array_equal(out, arr)
+
+
+@given(st.binary(min_size=0, max_size=300), st.integers(0, 3))
+@settings(max_examples=150, deadline=None)
+def test_codec_fuzz_never_hangs_or_leaks_exceptions(data, sig):
+    """Arbitrary bytes forced under each codec signature must either
+    decode or raise one of the documented parse-error types — the
+    decode seam's never-raises contract depends on this closed set."""
+    import struct
+    import zlib
+
+    from rio_toa_spark.functions.avi import avi_frames
+    from rio_toa_spark.functions.jpeg import decode_jpeg
+    from rio_toa_spark.functions.wav import decode_wav
+
+    prefixes = [
+        b"\x89PNG\r\n\x1a\n",
+        b"\xff\xd8\xff",
+        b"RIFF\xff\x00\x00\x00AVI ",
+        b"RIFF\xff\x00\x00\x00WAVE",
+    ]
+    payload = prefixes[sig] + data
+    decoders = [decode_png, decode_jpeg, avi_frames, decode_wav]
+    try:
+        decoders[sig](payload)
+    except (ValueError, KeyError, IndexError, NotImplementedError,
+            struct.error, zlib.error):
+        pass
+
+
+@given(
+    st.integers(1, 400),
+    st.integers(1, 3),
+    st.integers(0, 2**31 - 1),
+    st.sampled_from([8000, 16000, 44100]),
+)
+@settings(max_examples=40, deadline=None)
+def test_wav_roundtrip_property(n, ch, seed, rate):
+    from rio_toa_spark.functions.wav import decode_wav, encode_wav
+
+    rng = np.random.default_rng(seed)
+    s = rng.integers(-(1 << 15), 1 << 15, size=(n, ch), dtype=np.int16)
+    got, r = decode_wav(encode_wav(s, sample_rate=rate))
+    assert r == rate
+    assert np.array_equal(got, s)
