@@ -251,15 +251,22 @@ def cmd_media(args):
 
     spark = _spark(args)
     media = spark.read.parquet(args.media)
-    feats = image_features(
-        resize_image(
-            decode_image(media, payload=args.payload, key=args.key),
-            out_h=args.thumb,
-            out_w=args.thumb,
+    if args.kind == "audio":
+        from rio_toa_spark.operators.multimodal import audio_features, decode_audio
+
+        feats = audio_features(
+            decode_audio(media, payload=args.payload, key=args.key), key=args.key
+        )
+    else:
+        feats = image_features(
+            resize_image(
+                decode_image(media, payload=args.payload, key=args.key),
+                out_h=args.thumb,
+                out_w=args.thumb,
+                key=args.key,
+            ),
             key=args.key,
-        ),
-        key=args.key,
-    )
+        )
     obs = Observation()
     observed = feats.observe(
         obs,
@@ -392,6 +399,7 @@ def main(argv=None):
     p.add_argument("--key", default="media_id")
     p.add_argument("--payload", default="payload")
     p.add_argument("--thumb", type=int, default=8)
+    p.add_argument("--kind", default="image", choices=["image", "audio"])
     p.set_defaults(fn=cmd_media)
 
     p = sub.add_parser("pipjoin")

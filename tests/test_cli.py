@@ -335,3 +335,34 @@ def test_cli_media_features_and_provenance(spark, tmp_path, capsys):
     assert len(rows[0].features) == 6
     assert rows[1].decode_status == "genuine_jpeg"
     assert rows[2].decode_status == "stub"
+
+
+def test_cli_media_audio_kind(spark, tmp_path, capsys):
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from rio_toa_spark.functions.wav import encode_wav
+
+    rng = np.random.default_rng(3)
+    payloads = [
+        encode_wav(rng.integers(-32768, 32768, size=(400, 2), dtype=np.int16)),
+        b"RIFF\x08\x00\x00\x00WAVExxxx",  # malformed WAV -> stub
+    ]
+    src = tmp_path / "audio.parquet"
+    pq.write_table(
+        pa.table(
+            {
+                "media_id": pa.array([0, 1], pa.int64()),
+                "payload": pa.array(payloads, pa.binary()),
+            }
+        ),
+        src,
+    )
+    cli.main(["media", str(src), str(tmp_path / "out"), "--kind", "audio"])
+    stats = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert stats == {"input": 2, "genuine": 1, "pil": 0, "stub": 1}
+    rows = {r.media_id: r for r in spark.read.parquet(str(tmp_path / "out")).collect()}
+    assert rows[0].decode_status == "genuine_wav"
+    assert rows[0].duration_s == pytest.approx(400 / 16000.0)
+    assert len(rows[0].features) == 6  # rms/peak/zcr x 2 channels

@@ -179,3 +179,20 @@ def test_value_histogram_partials_before_shuffle(spark, tiles_df, scenes_df):
     first_exchange = plan.index("Exchange hashpartitioning")
     assert "HashAggregate" in plan[first_exchange:]  # final agg after shuffle
     assert "HashAggregate" in plan[:first_exchange]  # partial agg before it
+
+
+def test_media_pipelines_shuffle_free(spark):
+    """The multimodal chains (decode -> resize -> features; decode ->
+    audio features; container -> frame sampling) are pure row-local
+    mapInPandas stages: their physical plans must contain NO exchange
+    of any kind — the property that lets the media path scale linearly
+    with input splits at 100 TB (binary payloads never shuffle)."""
+    from rio_toa_spark.operators import multimodal as mm
+
+    df = spark.createDataFrame([(1, b"\x00payload")], "media_id long, payload binary")
+    img_chain = mm.image_features(mm.resize_image(mm.decode_image(df)))
+    audio_chain = mm.audio_features(mm.decode_audio(df))
+    frames_chain = mm.sample_video_frames(df, n_frames=2)
+    for chain in (img_chain, audio_chain, frames_chain):
+        plan = _plan(chain)
+        assert "Exchange" not in plan, plan
