@@ -362,7 +362,10 @@ def sample_video_frames(
     i*total//n_frames, the same strided rule as resize_image), and each
     sampled frame payload is decoded by its own signature — MJPG frames
     through the baseline JPEG codec, MPNG (Motion-PNG) frames through
-    the PNG codec. ``frame_idx`` is the SOURCE frame number.
+    the PNG codec. ``frame_idx`` is the SOURCE frame number. A video
+    with fewer than ``n_frames`` frames yields repeated source indices
+    (sampling with replacement) so every payload expands to exactly
+    n_frames rows — a fixed fan-out downstream batching can rely on.
 
     Non-AVI payloads (and any container/codec parse failure — the
     never-raises seam) fall back to the documented deterministic stub

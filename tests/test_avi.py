@@ -150,3 +150,16 @@ def test_avi_ignores_interleaved_audio_chunks():
     rebuilt = rebuilt[:4] + struct.pack("<I", len(rebuilt) - 8) + rebuilt[8:]
     got = avi_frames(rebuilt)
     assert got == frames
+
+
+def test_sample_video_frames_short_video_repeats(spark):
+    # fewer frames than requested: the even-stride rule repeats source
+    # indices so the fan-out stays exactly n_frames per payload
+    frames = _frames(n=2)
+    data = encode_avi([encode_png(f) for f in frames], 24, 24, fourcc=b"MPNG")
+    df = spark.createDataFrame([(1, data)], "media_id int, payload binary")
+    rows = sorted(mm.sample_video_frames(df, n_frames=4).collect(), key=lambda r: r.frame_idx)
+    assert [r.frame_idx for r in rows] == [0, 0, 1, 1]
+    for r in rows:
+        assert r.decode_status == "genuine_mpng"
+        assert bytes(r.pixels) == frames[r.frame_idx].tobytes()
