@@ -159,3 +159,54 @@ def stream_toa_radiance(
     if available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+MEDIA_SCHEMA = "media_id long, payload binary"
+
+
+def stream_media_features(
+    spark: SparkSession,
+    media_source_dir: str,
+    sink_dir: str,
+    checkpoint_dir: str,
+    thumb: int = 8,
+    available_now: bool = True,
+    media_schema: str = MEDIA_SCHEMA,
+):
+    """Incremental multimodal curation: media-payload drops (new crawl
+    shards landing) stream through the UNCHANGED batch decode ->
+    resize -> features operators via foreachBatch — row-local
+    mapInPandas chains, so a micro-batch is exactly the batch plan on
+    fewer rows, decode_status provenance included. Same idempotence
+    scheme as stream_toa_radiance: each micro-batch OVERWRITES its own
+    batch_id=<id> directory, so an at-least-once replay after a crash
+    rewrites instead of duplicating — exactly-once end to end."""
+    import os
+
+    from rio_toa_spark.operators.multimodal import (
+        decode_image,
+        image_features,
+        resize_image,
+    )
+
+    raw = (
+        spark.readStream.schema(media_schema)
+        .option("maxFilesPerTrigger", 4)
+        .parquet(media_source_dir)
+    )
+
+    def process(batch_df: DataFrame, batch_id: int) -> None:
+        out = image_features(
+            resize_image(decode_image(batch_df), out_h=thumb, out_w=thumb)
+        )
+        out.write.mode("overwrite").parquet(
+            os.path.join(sink_dir, "batch_id=%d" % batch_id)
+        )
+
+    writer = (
+        raw.writeStream.foreachBatch(process)
+        .option("checkpointLocation", checkpoint_dir)
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

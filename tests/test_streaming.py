@@ -135,3 +135,56 @@ def test_stream_toa_radiance_bitwise_vs_batch(spark, fixture_paths, tmp_path, ti
     )
     q2.awaitTermination(180)
     assert spark.read.parquet(sink).count() == len(want)
+
+
+def test_stream_media_features_matches_batch(spark, tmp_path):
+    """Streaming media curation (foreachBatch over the unchanged
+    decode->resize->features chain) produces exactly the batch result
+    on the same payloads, provenance included; a checkpointed restart
+    adds nothing."""
+    import numpy as np
+    import pyarrow as pa
+
+    from rio_toa_spark.functions.png import encode_png
+    from rio_toa_spark.operators.multimodal import (
+        decode_image,
+        image_features,
+        resize_image,
+    )
+    from rio_toa_spark.streaming.ingest import stream_media_features
+
+    rng = np.random.default_rng(6)
+    rows = [
+        (mid, encode_png(rng.integers(0, 256, size=(16, 16, 3), dtype=np.uint8)))
+        for mid in range(6)
+    ] + [(6, b"not an image")]
+    src = str(tmp_path / "media_drops")
+    os.makedirs(src)
+    tbl = pa.table(
+        {
+            "media_id": pa.array([r[0] for r in rows], pa.int64()),
+            "payload": pa.array([r[1] for r in rows], pa.binary()),
+        }
+    )
+    pq.write_table(tbl.slice(0, 4), os.path.join(src, "d1.parquet"))
+    pq.write_table(tbl.slice(4), os.path.join(src, "d2.parquet"))
+
+    sink = str(tmp_path / "media_sink")
+    q = stream_media_features(spark, src, sink, str(tmp_path / "media_ckpt"))
+    q.awaitTermination(120)
+
+    def keyed(df):
+        return {
+            r.media_id: (tuple(r.features), r.decode_status) for r in df.collect()
+        }
+
+    got = keyed(spark.read.parquet(sink))
+    batch_df = spark.createDataFrame(rows, "media_id long, payload binary")
+    want = keyed(image_features(resize_image(decode_image(batch_df))))
+    assert got == want
+    assert got[6][1] == "stub" and got[0][1] == "genuine_png"
+
+    # restart on the same checkpoint: no new files -> no new rows
+    q2 = stream_media_features(spark, src, sink, str(tmp_path / "media_ckpt"))
+    q2.awaitTermination(120)
+    assert spark.read.parquet(sink).count() == len(want)
