@@ -631,9 +631,10 @@ def encode_jpeg(
     restart_interval: int = 0,
 ) -> bytes:
     """uint8 (H, W), (H, W, 1) or (H, W, 3) -> baseline JPEG bytes
-    (Annex K tables scaled by quality; chroma subsampling '444' or
-    '420' — the latter averages 2x2 chroma and interleaves MCUs of
-    four luma blocks + one Cb + one Cr). ``restart_interval`` > 0
+    (Annex K tables scaled by quality; chroma subsampling '444',
+    '420' — 2x2-averaged chroma, MCUs of four luma blocks + Cb + Cr —
+    or '422': horizontally-averaged chroma, MCUs of two luma blocks +
+    Cb + Cr). ``restart_interval`` > 0
     emits DRI + RSTn markers every that many MCUs (resetting the DC
     predictors), exercising the decoder's resync path."""
     arr = np.asarray(arr, dtype=np.uint8)
@@ -642,10 +643,11 @@ def encode_jpeg(
     h, w, c = arr.shape
     if c not in (1, 3):
         raise ValueError("JPEG encoder supports 1 or 3 channels, got %d" % c)
-    if subsampling not in ("444", "420"):
-        raise ValueError("subsampling must be '444' or '420'")
+    if subsampling not in ("444", "420", "422"):
+        raise ValueError("subsampling must be '444', '420' or '422'")
     sub2 = c == 3 and subsampling == "420"
-    luma_hv = 0x22 if sub2 else 0x11
+    sub22 = c == 3 and subsampling == "422"
+    luma_hv = 0x22 if sub2 else (0x21 if sub22 else 0x11)
     ql = _quality_scale(_K1_LUMA, quality)
     qc = _quality_scale(_K2_CHROMA, quality)
 
@@ -698,7 +700,32 @@ def encode_jpeg(
             for j in range(len(pred)):
                 pred[j] = 0
 
-    if not sub2:
+    if sub22:
+        # 4:2:2 MCU = two side-by-side 8x8 luma blocks + one Cb + one
+        # Cr (chroma downsampled horizontally only)
+        ph, pw = -(-h // 8) * 8, -(-w // 16) * 16
+        y = np.pad(planes[0][0], ((0, ph - h), (0, pw - w)), mode="edge")
+        chroma = []
+        for p, q, tid in planes[1:]:
+            p = np.pad(p, ((0, ph - h), (0, pw - w)), mode="edge")
+            chroma.append(p.reshape(ph, pw // 2, 2).mean(axis=2))
+        pred = [0, 0, 0]
+        for my in range(ph // 8):
+            for mx in range(pw // 16):
+                mcu_boundary(pred)
+                for bx in (0, 1):
+                    x0 = mx * 16 + bx * 8
+                    pred[0] = _encode_block(
+                        bw, y[my * 8 : my * 8 + 8, x0 : x0 + 8], ql,
+                        dc_codes[0], ac_codes[0], pred[0]
+                    )
+                for i, p in enumerate(chroma):
+                    x0 = mx * 8
+                    pred[i + 1] = _encode_block(
+                        bw, p[my * 8 : my * 8 + 8, x0 : x0 + 8], qc,
+                        dc_codes[1], ac_codes[1], pred[i + 1]
+                    )
+    elif not sub2:
         # pad every plane to a multiple of 8 by edge replication
         ph, pw = -(-h // 8) * 8, -(-w // 8) * 8
         padded = [

@@ -118,7 +118,7 @@ def test_roundtrip_rgb_420_psnr(shape):
     assert psnr > 26.0, psnr
 
 
-@pytest.mark.parametrize("subsampling", ["444", "420"])
+@pytest.mark.parametrize("subsampling", ["444", "420", "422"])
 def test_roundtrip_with_restart_markers(subsampling):
     """DRI/RSTn: predictor resets and bitstream resync must decode to
     the same image as the marker-free encoding."""
@@ -335,3 +335,32 @@ def test_decode_image_fuzzed_progressive_payloads(spark):
     assert rows[0].decode_status == "genuine_jpeg"
     for r in rows.values():
         assert len(r.pixels) == r.height * r.width * r.channels
+
+
+@pytest.mark.parametrize("shape", [(16, 16), (24, 40), (18, 21)])
+def test_roundtrip_rgb_422_psnr(shape):
+    """4:2:2 (two-luma-block MCUs, horizontally-averaged chroma)
+    exercises the decoder's h=2,v=1 sampling-factor path."""
+    y, x = np.indices(shape)
+    img = np.stack(
+        [(50 + 2 * x) % 256, (80 + 2 * y) % 256, (90 + x + y) % 256], axis=2
+    ).astype(np.uint8)
+    out = jpeg.decode_jpeg(jpeg.encode_jpeg(img, quality=95, subsampling="422"))
+    assert out.shape == img.shape
+    err = out.astype(np.float64) - img
+    psnr = 10 * np.log10(255.0**2 / max((err**2).mean(), 1e-9))
+    assert psnr > 26.0, psnr
+
+
+def test_decoder_skips_app_and_comment_segments():
+    """Real files carry JFIF/Exif APPn and COM segments; the marker
+    walk must skip them by length without disturbing the decode."""
+    img = np.full((8, 8, 3), 140, np.uint8)
+    data = jpeg.encode_jpeg(img, quality=90)
+    extra = (
+        _seg(0xE0, b"JFIF\x00\x01\x02\x00\x00\x01\x00\x01\x00\x00")
+        + _seg(0xE1, b"Exif\x00\x00" + bytes(range(20)))
+        + _seg(0xFE, b"a comment \xff\x00 with tricky bytes")
+    )
+    spliced = data[:2] + extra + data[2:]
+    assert np.array_equal(jpeg.decode_jpeg(spliced), jpeg.decode_jpeg(data))

@@ -110,3 +110,26 @@ def test_describe_media_wav_vs_avi(spark):
         for r in mm.describe_media(df).collect()
     }
     assert got == {1: "audio/wav", 2: "video/avi"}
+
+
+def test_wav_with_extra_chunks():
+    # real WAVs carry LIST/INFO and fact chunks around fmt/data; the
+    # RIFF walk must pick the right chunks regardless of order
+    import struct
+
+    s = _tone(n=120, ch=1, seed=2)
+    pcm = s.astype("<i2").tobytes()
+    fmt = struct.pack("<HHIIHH", 1, 1, 16_000, 32_000, 2, 16)
+    info = b"LIST" + struct.pack("<I", 10) + b"INFOISFT\x00\x00"
+    fact = b"fact" + struct.pack("<I", 4) + struct.pack("<I", 120)
+    body = (
+        b"WAVE"
+        + info
+        + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+        + fact
+        + b"data" + struct.pack("<I", len(pcm)) + pcm
+    )
+    data = b"RIFF" + struct.pack("<I", len(body)) + body
+    got, rate = decode_wav(data)
+    assert rate == 16_000
+    assert np.array_equal(got, s)
