@@ -103,11 +103,13 @@ _STATUS_FIELD = T.StructField("decode_status", T.StringType())
 def decode_image(df: DataFrame, payload: str = "payload", key: str = "media_id") -> DataFrame:
     """binary -> decoded uint8 HWC buffer + decode provenance.
 
-    PNG and baseline JPEG payloads (signature-sniffed) take GENUINE
-    decodes through the pure-numpy codecs in functions/{png,jpeg}.py;
-    other formats fall back to the documented deterministic stub until
-    their codecs exist in the container (PIL plugs into the same
-    mapInPandas shape when importable; video stays stubbed).
+    PNG (incl. palette / sub-8-bit / 16-bit / Adam7-interlaced) and
+    JPEG (baseline SOF0 and progressive SOF2; 4:4:4/4:2:0/4:2:2)
+    payloads take GENUINE decodes through the pure-numpy codecs in
+    functions/{png,jpeg}.py, signature-sniffed; other formats fall
+    back to the documented deterministic stub (PIL plugs into the same
+    mapInPandas shape when importable). Video payloads go through
+    ``sample_video_frames``; audio through ``decode_audio``.
 
     Every row carries ``decode_status`` ('genuine_png' / 'genuine_jpeg'
     / 'pil' / 'stub') so a large-scale pipeline can QUANTIFY and filter
