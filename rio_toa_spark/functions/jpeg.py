@@ -538,8 +538,14 @@ def _ac_refine_pass(reader, blk, huff, tac, ss, se, al, state):
 
 
 def _reconstruct_progressive(comps, coef_store, qt, width, height) -> np.ndarray:
-    """Dequantize + IDCT every accumulated block (vectorized over the
-    whole block grid) and assemble exactly like the baseline path."""
+    """Dequantize + IDCT every accumulated block and assemble exactly
+    like the baseline path — per-block `M @ (coef * qt) @ M.T`, the
+    IDENTICAL float64 op order `_decode_scan` uses, so a progressive
+    stream decodes bit-for-bit the same as a baseline stream carrying
+    the same quantized coefficients. (A vectorized einsum over the
+    block grid sums in a different order; values that straddle a .5
+    rounding boundary then flip by one — caught by the
+    progressive==baseline hypothesis property.)"""
     hmax = max(c[1] for c in comps)
     vmax = max(c[2] for c in comps)
     inv_zz = np.argsort(_ZZ)
@@ -548,10 +554,14 @@ def _reconstruct_progressive(comps, coef_store, qt, width, height) -> np.ndarray
         if tq not in qt:
             raise ValueError("missing quantization table %d" % tq)
         ny, nx, _ = store.shape
-        nat = store[:, :, inv_zz].reshape(ny, nx, 8, 8).astype(np.float64)
-        nat *= qt[tq][None, None, :, :]
-        px = np.einsum("iu,yxuv,jv->yxij", _DCT_M, nat, _DCT_M) + 128.0
-        plane = px.transpose(0, 2, 1, 3).reshape(ny * 8, nx * 8)
+        plane = np.zeros((ny * 8, nx * 8), dtype=np.float64)
+        q = qt[tq]
+        for by in range(ny):
+            for bx in range(nx):
+                block = store[by, bx].astype(np.float64)[inv_zz].reshape(8, 8) * q
+                plane[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] = (
+                    _DCT_M @ block @ _DCT_M.T + 128.0
+                )
         planes.append(plane)
     return _finish_planes(comps, planes, hmax, vmax, width, height)
 
@@ -853,10 +863,19 @@ def encode_jpeg_progressive(
     for p, q in padded:
         hh, ww = p.shape
         ny, nx = hh // 8, ww // 8
-        blocks = p.reshape(ny, 8, nx, 8).transpose(0, 2, 1, 3) - 128.0
-        coef = np.einsum("iu,yxij,jv->yxuv", _DCT_M, blocks, _DCT_M)
-        qz = np.round(coef / q[None, None]).astype(np.int64)
-        comp_zz.append(qz.reshape(ny, nx, 64)[:, :, _ZZ])
+        # per-block forward DCT with the IDENTICAL float64 op order as
+        # the baseline encoder's _encode_block (M.T @ B @ M) — a
+        # vectorized einsum sums in a different order, and a
+        # coefficient exactly on a .5 quantization boundary then
+        # rounds differently, breaking progressive==baseline bitwise
+        # (caught by the hypothesis property)
+        qz = np.empty((ny, nx, 64), dtype=np.int64)
+        for by in range(ny):
+            for bx in range(nx):
+                blk = p[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] - 128.0
+                coef = _DCT_M.T @ blk @ _DCT_M
+                qz[by, bx] = np.round(coef / q).reshape(-1)
+        comp_zz.append(qz[:, :, _ZZ])
     dc_codes = [_encode_codes(*_DC_LUMA), _encode_codes(*_DC_CHROMA)]
     ac_codes = [_encode_codes(*_AC_LUMA), _encode_codes(*_AC_CHROMA)]
 

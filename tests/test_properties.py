@@ -167,3 +167,45 @@ def test_wav_roundtrip_property(n, ch, seed, rate):
     got, r = decode_wav(encode_wav(s, sample_rate=rate))
     assert r == rate
     assert np.array_equal(got, s)
+
+
+@given(
+    st.lists(st.binary(min_size=0, max_size=200), min_size=1, max_size=8),
+    st.integers(1, 640),
+    st.integers(1, 480),
+)
+@settings(max_examples=60, deadline=None)
+def test_avi_container_roundtrip_property(frames, w, h):
+    """encode_avi -> avi_frames is the identity on arbitrary frame
+    payloads (any sizes/parities — word-alignment must never corrupt
+    or shift a byte), and the header metadata survives."""
+    from rio_toa_spark.functions.avi import avi_frames, avi_meta, encode_avi
+
+    data = encode_avi(frames, w, h, fourcc=b"MJPG")
+    assert avi_frames(data) == frames
+    meta = avi_meta(data)
+    assert (meta["total_frames"], meta["width"], meta["height"]) == (len(frames), w, h)
+
+
+@given(
+    st.integers(1, 24),
+    st.integers(1, 24),
+    st.sampled_from([1, 3]),
+    st.integers(0, 2**31 - 1),
+)
+@settings(max_examples=25, deadline=None)
+def test_progressive_decode_equals_baseline_property(h, w, c, seed):
+    """Progressive scans carry the same quantized coefficients as the
+    baseline stream, so decode must agree pixel-for-pixel on ANY
+    shape — including single-block, tall, wide, and odd sizes."""
+    from rio_toa_spark.functions.jpeg import (
+        decode_jpeg,
+        encode_jpeg,
+        encode_jpeg_progressive,
+    )
+
+    rng = np.random.default_rng(seed)
+    img = rng.integers(0, 256, size=(h, w, c), dtype=np.uint8)
+    base = decode_jpeg(encode_jpeg(img, quality=88))
+    prog = decode_jpeg(encode_jpeg_progressive(img, quality=88))
+    assert np.array_equal(base, prog)
