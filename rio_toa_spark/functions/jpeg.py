@@ -254,8 +254,14 @@ def decode_jpeg(data: bytes) -> np.ndarray:
             for i in range(n):
                 cid, hv, tq = seg[6 + 3 * i], seg[7 + 3 * i], seg[8 + 3 * i]
                 comps.append((cid, hv >> 4, hv & 0xF, tq))
-        elif marker in (0xC1, 0xC3):
-            raise ValueError("only SOF0 baseline / SOF2 progressive JPEG is supported")
+        elif marker in (0xC1, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
+            # extended-sequential/lossless/differential/arithmetic
+            # frames: reject explicitly instead of falling through to
+            # an obscure empty-components error at SOS
+            raise ValueError(
+                "only SOF0 baseline / SOF2 progressive JPEG is supported "
+                "(got SOF marker 0x%02X)" % marker
+            )
         elif marker == 0xC4:  # DHT
             p = 0
             while p < len(seg):
@@ -268,6 +274,8 @@ def decode_jpeg(data: bytes) -> np.ndarray:
         elif marker == 0xDD:  # DRI
             restart_interval = struct.unpack(">H", seg[:2])[0]
         elif marker == 0xDA:  # SOS — entropy data follows
+            if not comps:
+                raise ValueError("SOS before SOF in JPEG stream")
             ns = seg[0]
             scan = []  # (comp_idx, dc_table, ac_table)
             for i in range(ns):

@@ -364,3 +364,20 @@ def test_decoder_skips_app_and_comment_segments():
     )
     spliced = data[:2] + extra + data[2:]
     assert np.array_equal(jpeg.decode_jpeg(spliced), jpeg.decode_jpeg(data))
+
+
+def test_unsupported_sof_variants_rejected_explicitly():
+    """SOF1/3/5..15 (extended sequential, lossless, arithmetic,
+    differential) must raise a clear ValueError, not an obscure
+    empty-components error at SOS."""
+    good = jpeg.encode_jpeg(np.full((8, 8), 90, np.uint8), quality=90)
+    sof_at = good.find(b"\xff\xc0")
+    for m in (0xC1, 0xC3, 0xC9, 0xCB, 0xCF):
+        bad = bytearray(good)
+        bad[sof_at + 1] = m
+        with pytest.raises(ValueError, match="SOF"):
+            jpeg.decode_jpeg(bytes(bad))
+    with pytest.raises(ValueError, match="SOS before SOF"):
+        # strip the SOF segment entirely
+        seg_len = int.from_bytes(good[sof_at + 2 : sof_at + 4], "big")
+        jpeg.decode_jpeg(good[:sof_at] + good[sof_at + 2 + seg_len :])
