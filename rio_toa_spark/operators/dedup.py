@@ -182,26 +182,24 @@ def minhash_from_hashes(hashes: Column, num_hashes: int = 16) -> Column:
     over shingles of ((a_i * (h mod M31) + b_i) mod M31), with a_i/b_i
     derived deterministically from i — reproducible in ANSI SQL.
 
-    Evaluation shape matters: the hash per shingle is computed ONCE and
-    the k permutations fold over it as an elementwise-min aggregate
-    (a per-perm array_min would re-evaluate the md5 k times — measured
-    16x slower on the bench corpus)."""
-    a_arr = F.array(*[F.lit(_MINHASH_A * (i + 1) % MERSENNE31) for i in range(num_hashes)])
-    b_arr = F.array(*[F.lit(_MINHASH_B * (i + 1) % MERSENNE31) for i in range(num_hashes)])
-    init = F.array_repeat(F.lit(MERSENNE31).cast("long"), num_hashes)
-    return F.aggregate(
-        hashes,
-        init,
-        lambda acc, h: F.zip_with(
-            acc,
-            F.sequence(F.lit(1), F.lit(num_hashes)),
-            lambda x, i: F.least(
-                x,
-                (F.element_at(a_arr, i) * (h % F.lit(MERSENNE31)) + F.element_at(b_arr, i))
-                % F.lit(MERSENNE31),
-            ),
-        ),
-    )
+    Evaluation shape matters — two pitfalls, both measured:
+    * ``hashes`` must be a BOUND column (the md5 pipeline materialized
+      by a previous projection); referencing the hash expression here
+      would re-evaluate it per permutation (16x pitfall).
+    * given a bound input, k independent transform+array_min passes of
+      plain int arithmetic beat the single elementwise-min fold whose
+      zip_with allocates a fresh k-array per shingle (measured 4.0 s
+      -> 3.1 s on the sf1.0 bench corpus end-to-end).
+    least(M31, ...) reproduces the fold's init exactly: an empty array
+    yields array_min = NULL, which least skips, returning M31."""
+    outs = []
+    m = F.lit(MERSENNE31)
+    for i in range(num_hashes):
+        a = F.lit(_MINHASH_A * (i + 1) % MERSENNE31)
+        b = F.lit(_MINHASH_B * (i + 1) % MERSENNE31)
+        perm = F.array_min(F.transform(hashes, lambda h: (a * (h % m) + b) % m))
+        outs.append(F.least(F.lit(MERSENNE31).cast("long"), perm))
+    return F.array(*outs)
 
 
 def minhash_signatures(
@@ -384,7 +382,19 @@ def _lsh_jaccard_fused(
     doc, negligible at these set sizes, and the hashes are IDENTICALLY
     computed by the DuckDB twin, so the cross-engine gate still holds
     exactly) while shuffling 8-byte longs instead of shingle text and
-    comparing integers instead of strings."""
+    comparing integers instead of strings.
+
+    The within-bucket pair expansion + Jaccard verify run fused inside
+    ONE vectorized numpy kernel over the collected buckets instead of
+    the generic _bucket_pairs HOF expansion: on dup-heavy corpora a
+    bucket of b members expands to b(b-1)/2 candidate rows each paying
+    a JVM array_intersect + array_union hash-set build (25.4M
+    candidates / ~21 s at bench sf1.0), while the kernel computes the
+    same intersection counts with one factorize + 0/1-matrix matmul
+    per bucket and never materializes non-passing pairs. Identical
+    results: integer intersection counts are exact, |A∪B| =
+    |A|+|B|-|A∩B| for distinct arrays, and the float64 division
+    matches Spark's double division bit-for-bit."""
     sh = shingle_hash_sets(df, text, key, shingle_n)
     # the minhash fold reads the int64 hashes (int32 would overflow the
     # permutation multiply under ANSI); the payload CARRIED through the
@@ -401,20 +411,178 @@ def _lsh_jaccard_fused(
         "sh",
         F.explode(_band_buckets("minhash", bands, rows_per_band)).alias("bb"),
     ).select(key, "sh", "bb.band", "bb.bucket")
-    jaccard = (
-        F.size(F.array_intersect(F.col("sh_a"), F.col("sh_b"))).cast("double")
-        / F.size(F.array_union(F.col("sh_a"), F.col("sh_b")))
-    )
-    return (
-        _bucket_pairs(
-            banded, ["band", "bucket"], key,
-            payload="sh", payload_a="sh_a", payload_b="sh_b", max_bucket=max_bucket,
+
+    spark = df.sparkSession
+    # same bucket-collect shape as _bucket_pairs: sort_array fixes the
+    # deterministic a < b member order; key/set columns are extracted
+    # from the SAME sorted struct array so they stay aligned
+    buckets = (
+        banded.groupBy("band", "bucket")
+        .agg(
+            F.sort_array(
+                F.collect_list(F.struct(F.col(key).alias("a"), F.col("sh").alias("s")))
+            ).alias("_ms")
         )
-        .withColumn("jaccard", jaccard)
-        .where(F.col("jaccard") >= threshold)
-        .select("a", "b", "jaccard")
-        .distinct()
+        .where(F.size("_ms") >= 2)
     )
+    if max_bucket is not None:
+        buckets = buckets.where(F.size("_ms") <= max_bucket)
+    # pin parallelism for the quadratic kernel stage (AQE would
+    # coalesce the tiny-byte bucket rows onto ~1 task, see _bucket_pairs)
+    buckets = buckets.repartition(spark.sparkContext.defaultParallelism)
+    bucket_cols = buckets.select(F.col("_ms.a").alias("ks"), F.col("_ms.s").alias("ss"))
+
+    from pyspark.sql import types as T
+
+    key_dt = sig_df.schema[key].dataType
+    out_schema = T.StructType(
+        [
+            T.StructField("a", key_dt),
+            T.StructField("b", key_dt),
+            T.StructField("jaccard", T.DoubleType()),
+        ]
+    )
+    out = bucket_cols.mapInPandas(_bucket_jaccard_verify(threshold), out_schema)
+    return out.distinct()
+
+
+def _bucket_jaccard_verify(threshold: float):
+    """Kernel factory: per bucket row (ks = member keys sorted, ss =
+    aligned shingle-hash sets), emit every member pair (a, b, jaccard)
+    with a before b in bucket order and jaccard >= threshold.
+
+    Exactness: identical sets are collapsed to one representative
+    class first (byte-equality — conservative: only arrays with equal
+    element ORDER collapse, which is exactly the identical-text case),
+    so the intersection matmul runs over R distinct sets, not b
+    members; class-level jaccards are then fanned back out to member
+    pairs by pure index arithmetic. J(A,A) = |A|/|A| = 1.0 exactly in
+    both engines (0/0 -> NaN fails the threshold, also both engines).
+    A null set (null text upstream) makes every jaccard involving it
+    NULL in the SQL form, which the >= filter drops — the kernel skips
+    such members for the same result."""
+    import numpy as np
+    import pandas as pd
+
+    def run(batches):
+        for pdf in batches:
+            out_a: list = []
+            out_b: list = []
+            out_j: list = []
+            for ks, ss in zip(pdf["ks"].to_numpy(), pdf["ss"].to_numpy()):
+                _emit_bucket(np.asarray(ks), ss, threshold, out_a, out_b, out_j)
+            if out_a:
+                yield pd.DataFrame(
+                    {
+                        "a": np.concatenate(out_a),
+                        "b": np.concatenate(out_b),
+                        "jaccard": np.concatenate(out_j),
+                    }
+                )
+            else:
+                yield pd.DataFrame(
+                    {"a": pd.Series(dtype=object), "b": pd.Series(dtype=object),
+                     "jaccard": pd.Series(dtype=np.float64)}
+                )
+
+    def _emit_bucket(ks, ss, thr, out_a, out_b, out_j):
+        # collapse byte-identical sets into classes
+        class_of = {}
+        reps: list = []
+        cls_idx = np.empty(len(ks), np.int64)
+        for i, s in enumerate(ss):
+            if s is None:
+                cls_idx[i] = -1  # null set: every pair involving it drops
+                continue
+            arr = np.asarray(s)
+            kb = arr.tobytes()
+            c = class_of.get(kb)
+            if c is None:
+                c = len(reps)
+                class_of[kb] = c
+                reps.append(arr.astype(np.int64, copy=False))
+            cls_idx[i] = c
+        R = len(reps)
+        if R == 0:
+            return
+        lens = np.array([r.size for r in reps], dtype=np.int64)
+        if R == 1:
+            inter = lens.reshape(1, 1).astype(np.float64)
+        else:
+            allv = np.concatenate(reps)
+            uniq, inv = np.unique(allv, return_inverse=True)
+            # 0/1 membership matrix; float32 matmul is exact for
+            # integer counts < 2^24 (set sizes are far smaller)
+            M = np.zeros((R, uniq.size), np.float32)
+            M[np.repeat(np.arange(R), lens), inv] = 1.0
+            inter = (M @ M.T).astype(np.float64)
+        with np.errstate(invalid="ignore", divide="ignore"):
+            union = lens[:, None] + lens[None, :] - inter
+            jacm = inter / union  # float64 / float64 of exact ints ==
+            # Spark's int->double cast + double divide
+        passing = jacm >= thr  # NaN (0/0) compares False, like SQL NULL/NaN
+        # member positions per class, in sorted bucket order
+        order = np.argsort(cls_idx, kind="stable")
+        counts = np.bincount(cls_idx[cls_idx >= 0], minlength=R)
+        n_null = int((cls_idx < 0).sum())
+        starts = np.concatenate(([n_null], n_null + np.cumsum(counts)))
+        members = [order[starts[c] : starts[c + 1]] for c in range(R)]
+        singles = counts == 1
+        # vectorized case: both classes singleton, p < q passing
+        if R > 1:
+            pp, qq = np.nonzero(np.triu(passing, 1) & np.outer(singles, singles))
+            if pp.size:
+                pos_single = np.full(R, -1, np.int64)
+                pos_single[singles] = np.array(
+                    [members[c][0] for c in np.nonzero(singles)[0]], np.int64
+                )
+                ai = pos_single[pp]
+                bi = pos_single[qq]
+                lo = np.minimum(ai, bi)
+                hi = np.maximum(ai, bi)
+                out_a.append(ks[lo])
+                out_b.append(ks[hi])
+                out_j.append(jacm[pp, qq])
+        # loop cases: intra-class pairs and cross pairs with a multi class
+        for p in range(R):
+            mp = members[p]
+            if counts[p] >= 2 and passing[p, p]:
+                iu, ju = np.triu_indices(counts[p], 1)
+                out_a.append(ks[mp[iu]])
+                out_b.append(ks[mp[ju]])
+                out_j.append(np.full(iu.size, jacm[p, p]))
+            if counts[p] == 1:
+                continue
+            for q in range(p + 1, R):
+                if not passing[p, q] or (counts[q] == 1 and counts[p] == 1):
+                    continue
+                mq = members[q]
+                gi = np.repeat(mp, counts[q])
+                gj = np.tile(mq, counts[p])
+                lo = np.minimum(gi, gj)
+                hi = np.maximum(gi, gj)
+                out_a.append(ks[lo])
+                out_b.append(ks[hi])
+                out_j.append(np.full(gi.size, jacm[p, q]))
+        # cross pairs where p is singleton but q is multi (skipped above
+        # by the `continue`): handle symmetrically
+        for p in range(R):
+            if counts[p] != 1:
+                continue
+            mp = members[p]
+            for q in range(p + 1, R):
+                if counts[q] == 1 or not passing[p, q]:
+                    continue
+                mq = members[q]
+                gi = np.repeat(mp, counts[q])
+                gj = mq
+                lo = np.minimum(gi, gj)
+                hi = np.maximum(gi, gj)
+                out_a.append(ks[lo])
+                out_b.append(ks[hi])
+                out_j.append(np.full(gj.size, jacm[p, q]))
+
+    return run
 
 
 def simhash(text_col: Column, bits: int = 32, shingle_n: int = 2) -> Column:
