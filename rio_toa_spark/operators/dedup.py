@@ -395,22 +395,34 @@ def _lsh_jaccard_fused(
     results: integer intersection counts are exact, |A∪B| =
     |A|+|B|-|A∩B| for distinct arrays, and the float64 division
     matches Spark's double division bit-for-bit."""
-    sh = shingle_hash_sets(df, text, key, shingle_n)
-    # the minhash fold reads the int64 hashes (int32 would overflow the
-    # permutation multiply under ANSI); the payload CARRIED through the
-    # 16x banding shuffle is narrowed to int32 — hash values are < 2^31
-    # by construction, and halving the payload bytes was a consistent
-    # ~30% end-to-end win at bench scale
-    sig_df = sh.select(
-        F.col(key),
-        F.col("sh").cast("array<int>").alias("sh"),
-        minhash_from_hashes(F.col("sh"), num_hashes).alias("minhash"),
+    from pyspark.sql import types as T
+
+    # tokenize -> md5 token hash -> shingle combine -> distinct ->
+    # minhash -> band bucket, all fused in one numpy/hashlib kernel
+    # over the Spark-normalized text (normalization stays JVM-side so
+    # Java regex/lowercase semantics are preserved). Arithmetic is the
+    # exact integer pipeline of token_hash_expr /
+    # shingle_hashes_from_tokens / minhash_from_hashes / _band_buckets
+    # (md5 is md5, int64 mod arithmetic is engine-independent; shingle
+    # sets are emitted SORTED, which no consumer observes: minhash and
+    # Jaccard are order-free and the bucket sort key is the doc key).
+    # A per-task token->hash cache exploits vocabulary repetition the
+    # JVM expression path cannot see; measured 3.5 s -> 1.1 s for the
+    # banded stage at bench sf1.0.
+    nt = _parallelize(df).select(F.col(key), normalized_text(F.col(text)).alias("_nt"))
+    key_dt = df.schema[key].dataType
+    banded_schema = T.StructType(
+        [
+            T.StructField(key, key_dt),
+            T.StructField("sh", T.ArrayType(T.IntegerType())),
+            T.StructField("band", T.IntegerType()),
+            T.StructField("bucket", T.LongType()),
+        ]
     )
-    banded = sig_df.select(
-        key,
-        "sh",
-        F.explode(_band_buckets("minhash", bands, rows_per_band)).alias("bb"),
-    ).select(key, "sh", "bb.band", "bb.bucket")
+    banded = nt.mapInPandas(
+        _banded_signature_kernel(key, shingle_n, num_hashes, bands, rows_per_band),
+        banded_schema,
+    )
 
     spark = df.sparkSession
     # same bucket-collect shape as _bucket_pairs: sort_array fixes the
@@ -432,9 +444,6 @@ def _lsh_jaccard_fused(
     buckets = buckets.repartition(spark.sparkContext.defaultParallelism)
     bucket_cols = buckets.select(F.col("_ms.a").alias("ks"), F.col("_ms.s").alias("ss"))
 
-    from pyspark.sql import types as T
-
-    key_dt = sig_df.schema[key].dataType
     out_schema = T.StructType(
         [
             T.StructField("a", key_dt),
@@ -444,6 +453,139 @@ def _lsh_jaccard_fused(
     )
     out = bucket_cols.mapInPandas(_bucket_jaccard_verify(threshold), out_schema)
     return out.distinct()
+
+
+def _banded_signature_kernel(
+    key: str, shingle_n: int, num_hashes: int, bands: int, rows_per_band: int
+):
+    """Kernel factory for the fused signature+banding stage: rows of
+    (key, _nt normalized text) -> ``bands`` rows of (key, sh, band,
+    bucket) per doc.
+
+    Bit-exact replay of the SQL pipeline it replaces (see call site):
+    * token hash = int64(md5(token)[:15 hex]) % M31, one md5 per
+      DISTINCT token thanks to the per-task cache;
+    * shingle_i = sum_j(th[i+j] * w_j % M31) % M31 over a flat
+      segment-indexed array (short docs < n tokens take the exact
+      sequential (acc * base + h) % M31 fold in python ints);
+    * per-doc distinct via one flat sort of (doc_idx << 31 | gram);
+    * minhash sig_i = min((a_i * h + b_i) % M31) via minimum.reduceat;
+    * bucket = int64(md5(",".join(band slice as decimal))[:15]) —
+      identical strings, identical md5.
+    Docs with NULL text are skipped: the SQL form carries them to the
+    verify step where every jaccard involving a NULL set is NULL and
+    filtered — no output either way."""
+    import hashlib
+
+    import numpy as np
+    import pandas as pd
+
+    M = MERSENNE31
+    W = [np.int64(w) for w in shingle_weights(shingle_n)]
+    AS = [np.int64(_MINHASH_A * (i + 1) % M) for i in range(num_hashes)]
+    BS = [np.int64(_MINHASH_B * (i + 1) % M) for i in range(num_hashes)]
+
+    def run(batches):
+        from rio_toa_spark.operators.batching import coalesce_batches
+
+        md5 = hashlib.md5
+        cache: dict = {}
+
+        def tokh(t):
+            h = cache.get(t)
+            if h is None:
+                h = int(md5(t.encode("utf-8")).hexdigest()[:15], 16) % M
+                cache[t] = h
+            return h
+
+        for pdf in coalesce_batches(batches):
+            keys_in = pdf[key].to_numpy()
+            texts = pdf["_nt"].tolist()
+            doc_keys = []
+            tok_hashes = []
+            counts = []
+            for ki, t in zip(keys_in, texts):
+                if t is None:
+                    continue
+                toks = t.split(" ")
+                doc_keys.append(ki)
+                tok_hashes.append(np.fromiter((tokh(x) for x in toks), np.int64, len(toks)))
+                counts.append(len(toks))
+            n_docs = len(doc_keys)
+            if not n_docs:
+                continue
+            counts = np.asarray(counts, np.int64)
+            flat = np.concatenate(tok_hashes)
+            starts = np.concatenate(([0], np.cumsum(counts)[:-1]))
+
+            # shingle grams over the flat array: positions whose window
+            # stays inside one doc (docs with < n tokens handled below)
+            gcounts = np.maximum(counts - (shingle_n - 1), 0)
+            gtotal = int(gcounts.sum())
+            if gtotal:
+                gdoc = np.repeat(np.arange(n_docs), gcounts)
+                gstarts = np.concatenate(([0], np.cumsum(gcounts)[:-1]))
+                gpos = np.repeat(starts, gcounts) + (
+                    np.arange(gtotal) - np.repeat(gstarts, gcounts)
+                )
+                grams = (flat[gpos] * W[0]) % M
+                for j in range(1, shingle_n):
+                    grams = grams + (flat[gpos + j] * W[j]) % M
+                grams %= M
+            else:
+                gdoc = np.empty(0, np.int64)
+                grams = np.empty(0, np.int64)
+            # short docs: exact sequential fold in python ints
+            short = np.nonzero(counts < shingle_n)[0]
+            if short.size:
+                sdoc, sgram = [], []
+                for d in short:
+                    acc = 0
+                    for h in tok_hashes[d]:
+                        acc = (acc * _SHINGLE_BASE + int(h)) % M
+                    sdoc.append(d)
+                    sgram.append(acc)
+                gdoc = np.concatenate([gdoc, np.asarray(sdoc, np.int64)])
+                grams = np.concatenate([grams, np.asarray(sgram, np.int64)])
+            # per-doc distinct (sorted; no consumer observes order)
+            keyed = (gdoc << np.int64(31)) | grams
+            keyed = np.sort(keyed)
+            keep = np.concatenate(([True], keyed[1:] != keyed[:-1]))
+            kept = keyed[keep]
+            udoc = kept >> np.int64(31)
+            uval = kept & np.int64((1 << 31) - 1)
+            ucounts = np.bincount(udoc, minlength=n_docs)
+            ustarts = np.concatenate(([0], np.cumsum(ucounts)[:-1]))
+
+            # minhash: k permutation passes + segment mins
+            sig = np.empty((num_hashes, n_docs), np.int64)
+            for i in range(num_hashes):
+                p = (AS[i] * uval + BS[i]) % M
+                sig[i] = np.minimum.reduceat(p, ustarts)
+
+            # band buckets: md5 of the comma-joined decimal band slice
+            bucket = np.empty((bands, n_docs), np.int64)
+            for b in range(bands):
+                rows = sig[b * rows_per_band : (b + 1) * rows_per_band]
+                for d in range(n_docs):
+                    s = ",".join(str(int(rows[i, d])) for i in range(rows_per_band))
+                    bucket[b, d] = int(md5(s.encode()).hexdigest()[:15], 16)
+
+            sh_arrays = np.split(uval.astype(np.int32), np.cumsum(ucounts)[:-1])
+            dk = np.asarray(doc_keys)
+            yield pd.DataFrame(
+                {
+                    key: np.tile(dk, bands),
+                    "sh": pd.Series(
+                        [sh_arrays[d] for _ in range(bands) for d in range(n_docs)],
+                        dtype=object,
+                    ),
+                    "band": np.repeat(np.arange(bands, dtype=np.int32), n_docs),
+                    "bucket": bucket.reshape(-1),
+                }
+            )
+
+    return run
 
 
 def _bucket_jaccard_verify(threshold: float):
