@@ -288,6 +288,11 @@ def knn_centroids(
 
 def _knn_broadcast(points_df, tiles, k, lon, lat, point_key):
     spark = points_df.sparkSession
+    # project BEFORE the opaque kernel: Spark cannot see which columns
+    # mapInPandas touches and would ship (and scan) every page column —
+    # including the ~0.5 KB html payloads — through Arrow into Python
+    # (guide rule; measured 2.1 s -> 1.0 s on the 400k-page bench)
+    points_df = points_df.select(point_key, lon, lat)
     tile_rows = tiles.orderBy("tile_id").collect()
     ids = [r.tile_id for r in tile_rows]
     cx = np.array([r.cx for r in tile_rows])
