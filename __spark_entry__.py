@@ -1765,46 +1765,6 @@ def _q_dn_histogram(spark, sf_dir):
     return dn_histogram(tiles, n_buckets=16)
 
 
-def _q_media_png_decode(spark, sf_dir):
-    # GENUINE image decode end to end: deterministic 16x16 RGB images
-    # (seeded per media_id) are PNG-encoded executor-side, then decoded
-    # through the pure-numpy PNG codec (zlib inflate + unfilter) inside
-    # decode_image. Round-trip fidelity is asserted bitwise in
-    # tests/test_multimodal.py; here the pixel md5 proves determinism.
-    import numpy as np
-    import pandas as pd
-
-    from rio_toa_spark.operators.multimodal import decode_image
-
-    d = _t(spark, sf_dir, "documents").select(F.col("doc_id").alias("media_id")).limit(64)
-
-    def enc(batches):
-        from rio_toa_spark.functions.png import encode_png
-
-        for pdf in batches:
-            payloads = [
-                encode_png(
-                    np.random.default_rng(int(mid)).integers(
-                        0, 256, size=(16, 16, 3), dtype=np.uint8
-                    )
-                )
-                for mid in pdf["media_id"]
-            ]
-            yield pd.DataFrame({"media_id": pdf["media_id"], "payload": payloads})
-
-    pngs = d.mapInPandas(enc, "media_id long, payload binary")
-    dec = decode_image(pngs)
-    return dec.select(
-        "media_id",
-        "height",
-        "width",
-        "channels",
-        F.conv(F.substring(F.md5(F.col("pixels")), 1, 15), 16, 10)
-        .cast("long")
-        .alias("pixels_hash"),
-    )
-
-
 def _q_simhash_near_dups(spark, sf_dir):
     from rio_toa_spark.operators.dedup import simhash_near_dups
 

@@ -271,9 +271,17 @@ def cmd_media(args):
     observed = feats.observe(
         obs,
         F.count(F.lit(1)).alias("n"),
-        F.sum(F.col("decode_status").startswith("genuine").cast("long")).alias("n_genuine"),
-        F.sum((F.col("decode_status") == "pil").cast("long")).alias("n_pil"),
-        F.sum((F.col("decode_status") == "stub").cast("long")).alias("n_stub"),
+        # coalesce: SUM over zero rows is NULL, and int(None) would
+        # raise after the (successful) write on an empty input
+        F.coalesce(
+            F.sum(F.col("decode_status").startswith("genuine").cast("long")), F.lit(0)
+        ).alias("n_genuine"),
+        F.coalesce(
+            F.sum((F.col("decode_status") == "pil").cast("long")), F.lit(0)
+        ).alias("n_pil"),
+        F.coalesce(
+            F.sum((F.col("decode_status") == "stub").cast("long")), F.lit(0)
+        ).alias("n_stub"),
     )
     _write(observed, args.dst, (), args=args)
     print(
