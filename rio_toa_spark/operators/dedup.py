@@ -505,24 +505,34 @@ def _banded_signature_kernel(
                 cache[t] = h
             return h
 
+        import itertools
+
         for pdf in coalesce_batches(batches):
             keys_in = pdf[key].to_numpy()
             texts = pdf["_nt"].tolist()
             doc_keys = []
-            tok_hashes = []
-            counts = []
+            tok_lists = []
+            counts_l = []
             for ki, t in zip(keys_in, texts):
                 if t is None:
                     continue
                 toks = t.split(" ")
                 doc_keys.append(ki)
-                tok_hashes.append(np.fromiter((tokh(x) for x in toks), np.int64, len(toks)))
-                counts.append(len(toks))
+                tok_lists.append(toks)
+                counts_l.append(len(toks))
             n_docs = len(doc_keys)
             if not n_docs:
                 continue
-            counts = np.asarray(counts, np.int64)
-            flat = np.concatenate(tok_hashes)
+            counts = np.asarray(counts_l, np.int64)
+            # factorize the whole batch's token stream in C, md5 only
+            # the batch-unique tokens (plus the per-task cache): the
+            # per-token python generator path measured ~2µs/token
+            flat_tokens = np.asarray(
+                list(itertools.chain.from_iterable(tok_lists)), dtype=object
+            )
+            codes, uniques = pd.factorize(flat_tokens)
+            uh = np.fromiter((tokh(u) for u in uniques), np.int64, len(uniques))
+            flat = uh[codes]
             starts = np.concatenate(([0], np.cumsum(counts)[:-1]))
 
             # shingle grams over the flat array: positions whose window
@@ -548,7 +558,7 @@ def _banded_signature_kernel(
                 sdoc, sgram = [], []
                 for d in short:
                     acc = 0
-                    for h in tok_hashes[d]:
+                    for h in flat[starts[d] : starts[d] + counts[d]]:
                         acc = (acc * _SHINGLE_BASE + int(h)) % M
                     sdoc.append(d)
                     sgram.append(acc)
