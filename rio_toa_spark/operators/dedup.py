@@ -431,7 +431,6 @@ def _lsh_jaccard_fused(
         banded_schema,
     )
 
-    spark = df.sparkSession
     # same bucket-collect shape as _bucket_pairs: sort_array fixes the
     # deterministic a < b member order; key/set columns are extracted
     # from the SAME sorted struct array so they stay aligned
@@ -446,9 +445,14 @@ def _lsh_jaccard_fused(
     )
     if max_bucket is not None:
         buckets = buckets.where(F.size("_ms") <= max_bucket)
-    # pin parallelism for the quadratic kernel stage (AQE would
-    # coalesce the tiny-byte bucket rows onto ~1 task, see _bucket_pairs)
-    buckets = buckets.repartition(spark.sparkContext.defaultParallelism)
+    # NO explicit repartition here (unlike _bucket_pairs): the bucket
+    # rows carry the sh payloads, so a parallelism-pinning repartition
+    # re-shuffles the full payload a second time (~340 MB / 0.4 s at
+    # bench sf1.0). AQE's default parallelismFirst keeps the groupBy
+    # output at full parallelism whenever the bucket table exceeds
+    # ~minPartitionSize x parallelism (32 MB at defaults) — below
+    # that, the kernel work a coalesced partition holds is small by
+    # the same byte bound.
     bucket_cols = buckets.select(F.col("_ms.a").alias("ks"), F.col("_ms.s").alias("ss"))
 
     out_schema = T.StructType(
