@@ -421,7 +421,7 @@ def _lsh_jaccard_fused(
     banded_schema = T.StructType(
         [
             T.StructField(key, key_dt),
-            T.StructField("sh", T.ArrayType(T.IntegerType())),
+            T.StructField("sh", T.BinaryType()),
             T.StructField("band", T.IntegerType()),
             T.StructField("bucket", T.LongType()),
         ]
@@ -592,7 +592,17 @@ def _banded_signature_kernel(
                     s = ",".join(str(int(rows[i, d])) for i in range(rows_per_band))
                     bucket[b, d] = int(md5(s.encode()).hexdigest()[:15], 16)
 
-            sh_arrays = np.split(uval.astype(np.int32), np.cumsum(ucounts)[:-1])
+            # pack each doc's sorted distinct shingle set as raw
+            # little-endian int32 bytes: the payload crosses the band
+            # shuffle as one binary cell instead of a nested int array
+            # (smaller UnsafeRow, far cheaper Arrow->pandas on the
+            # bucket side), and byte-equality class dedup gets its key
+            # for free
+            shb = uval.astype("<i4").tobytes()
+            ends = ucounts.cumsum() * 4
+            sh_arrays = [
+                shb[int(e - c * 4) : int(e)] for c, e in zip(ucounts, ends)
+            ]
             dk = np.asarray(doc_keys)
             yield pd.DataFrame(
                 {
@@ -646,7 +656,7 @@ def _bucket_jaccard_verify(threshold: float):
         Arithmetic identical to the class path: exact integer
         intersection counts, float64 division."""
         b = len(ks)
-        arrs = [np.asarray(s) for s in ss]
+        arrs = [np.frombuffer(s, np.int32) for s in ss]
         lens = np.fromiter((a.size for a in arrs), np.int64, b)
         allv = np.concatenate(arrs)
         uniq, inv = np.unique(allv, return_inverse=True)
@@ -702,13 +712,12 @@ def _bucket_jaccard_verify(threshold: float):
             if s is None:
                 cls_idx[i] = -1  # null set: every pair involving it drops
                 continue
-            arr = np.asarray(s)
-            kb = arr.tobytes()
+            kb = bytes(s)  # packed <i4 bytes ARE the class key
             c = class_of.get(kb)
             if c is None:
                 c = len(reps)
                 class_of[kb] = c
-                reps.append(arr.astype(np.int64, copy=False))
+                reps.append(np.frombuffer(kb, np.int32).astype(np.int64))
             cls_idx[i] = c
         R = len(reps)
         if R == 0:
