@@ -416,31 +416,46 @@ def _lsh_jaccard_fused(
     # A per-task token->hash cache exploits vocabulary repetition the
     # JVM expression path cannot see; measured 3.5 s -> 1.1 s for the
     # banded stage at bench sf1.0.
+    #
+    # When no max_bucket cap is set, each member additionally carries
+    # its packed ALL-band bucket hashes ("hb", bands x int64 = 32 B on
+    # top of the ~hundreds-of-bytes shingle payload) so the verify
+    # kernel can emit each pair only from its FIRST shared band: a doc
+    # sits in exactly one bucket per band and one bucket row exists
+    # per (band, bucket), so first-shared-band emission makes the pair
+    # stream globally unique and the trailing distinct() exchange is
+    # dropped outright. With a max_bucket cap the invariant breaks (a
+    # skipped band-0 bucket must not suppress the band-1 emission), so
+    # that path keeps the generic emit + distinct().
+    first_band_dedup = max_bucket is None
     nt = _parallelize(df).select(F.col(key), normalized_text(F.col(text)).alias("_nt"))
     key_dt = df.schema[key].dataType
-    banded_schema = T.StructType(
-        [
-            T.StructField(key, key_dt),
-            T.StructField("sh", T.BinaryType()),
-            T.StructField("band", T.IntegerType()),
-            T.StructField("bucket", T.LongType()),
-        ]
-    )
+    banded_fields = [
+        T.StructField(key, key_dt),
+        T.StructField("sh", T.BinaryType()),
+        T.StructField("band", T.IntegerType()),
+        T.StructField("bucket", T.LongType()),
+    ]
+    if first_band_dedup:
+        banded_fields.append(T.StructField("hb", T.BinaryType()))
     banded = nt.mapInPandas(
-        _banded_signature_kernel(key, shingle_n, num_hashes, bands, rows_per_band),
-        banded_schema,
+        _banded_signature_kernel(
+            key, shingle_n, num_hashes, bands, rows_per_band, emit_hb=first_band_dedup
+        ),
+        T.StructType(banded_fields),
     )
 
     # same bucket-collect shape as _bucket_pairs: sort_array fixes the
     # deterministic a < b member order; key/set columns are extracted
-    # from the SAME sorted struct array so they stay aligned
+    # from the SAME sorted struct array so they stay aligned (keys are
+    # unique within a bucket — one bucket per doc per band — so the
+    # extra struct fields never affect the sort order)
+    item_fields = [F.col(key).alias("a"), F.col("sh").alias("s")]
+    if first_band_dedup:
+        item_fields.append(F.col("hb").alias("h"))
     buckets = (
         banded.groupBy("band", "bucket")
-        .agg(
-            F.sort_array(
-                F.collect_list(F.struct(F.col(key).alias("a"), F.col("sh").alias("s")))
-            ).alias("_ms")
-        )
+        .agg(F.sort_array(F.collect_list(F.struct(*item_fields))).alias("_ms"))
         .where(F.size("_ms") >= 2)
     )
     if max_bucket is not None:
@@ -453,7 +468,10 @@ def _lsh_jaccard_fused(
     # ~minPartitionSize x parallelism (32 MB at defaults) — below
     # that, the kernel work a coalesced partition holds is small by
     # the same byte bound.
-    bucket_cols = buckets.select(F.col("_ms.a").alias("ks"), F.col("_ms.s").alias("ss"))
+    bucket_out = [F.col("_ms.a").alias("ks"), F.col("_ms.s").alias("ss")]
+    if first_band_dedup:
+        bucket_out = [F.col("band")] + bucket_out + [F.col("_ms.h").alias("hs")]
+    bucket_cols = buckets.select(*bucket_out)
 
     out_schema = T.StructType(
         [
@@ -462,16 +480,27 @@ def _lsh_jaccard_fused(
             T.StructField("jaccard", T.DoubleType()),
         ]
     )
-    out = bucket_cols.mapInPandas(_bucket_jaccard_verify(threshold), out_schema)
-    return out.distinct()
+    out = bucket_cols.mapInPandas(
+        _bucket_jaccard_verify(threshold, band_dedup=first_band_dedup), out_schema
+    )
+    # first-band dedup makes the pair stream provably unique (see
+    # above), so distinct() would be an identity shuffle — skip it
+    return out if first_band_dedup else out.distinct()
 
 
 def _banded_signature_kernel(
-    key: str, shingle_n: int, num_hashes: int, bands: int, rows_per_band: int
+    key: str,
+    shingle_n: int,
+    num_hashes: int,
+    bands: int,
+    rows_per_band: int,
+    emit_hb: bool = False,
 ):
     """Kernel factory for the fused signature+banding stage: rows of
     (key, _nt normalized text) -> ``bands`` rows of (key, sh, band,
-    bucket) per doc.
+    bucket) per doc — plus, when ``emit_hb``, the doc's packed
+    all-band bucket hashes (bands x native int64 bytes) for the verify
+    kernel's first-shared-band pair dedup.
 
     Bit-exact replay of the SQL pipeline it replaces (see call site):
     * token hash = int64(md5(token)[:15 hex]) % M31, one md5 per
@@ -495,12 +524,14 @@ def _banded_signature_kernel(
     W = [np.int64(w) for w in shingle_weights(shingle_n)]
     AS = [np.int64(_MINHASH_A * (i + 1) % M) for i in range(num_hashes)]
     BS = [np.int64(_MINHASH_B * (i + 1) % M) for i in range(num_hashes)]
+    BFMT = ",".join(["%d"] * rows_per_band)
 
     def run(batches):
         from rio_toa_spark.operators.batching import coalesce_batches
 
         md5 = hashlib.md5
         cache: dict = {}
+        bcache: dict = {}
 
         def tokh(t):
             h = cache.get(t)
@@ -584,13 +615,31 @@ def _banded_signature_kernel(
                 p = (AS[i] * uval + BS[i]) % M
                 sig[i] = np.minimum.reduceat(p, ustarts)
 
-            # band buckets: md5 of the comma-joined decimal band slice
+            # band buckets: md5 of the comma-joined decimal band slice.
+            # The per-doc string is built with one C-level %-format
+            # over python ints (tolist) instead of a str() generator
+            # per element (~1.6x), and a per-task slice-bytes cache
+            # skips format+md5 entirely for repeated band slices —
+            # near-dup corpora repeat slices heavily (that is exactly
+            # what makes them candidates), and md5 of equal strings is
+            # equal, so the cache is exact.
             bucket = np.empty((bands, n_docs), np.int64)
             for b in range(bands):
-                rows = sig[b * rows_per_band : (b + 1) * rows_per_band]
+                rows = np.ascontiguousarray(
+                    sig[b * rows_per_band : (b + 1) * rows_per_band].T
+                )
+                cols = rows.tolist()
+                out_b = bucket[b]
+                bget = bcache.get
                 for d in range(n_docs):
-                    s = ",".join(str(int(rows[i, d])) for i in range(rows_per_band))
-                    bucket[b, d] = int(md5(s.encode()).hexdigest()[:15], 16)
+                    kb = rows[d].tobytes()
+                    v = bget(kb)
+                    if v is None:
+                        v = int(
+                            md5((BFMT % tuple(cols[d])).encode()).hexdigest()[:15], 16
+                        )
+                        bcache[kb] = v
+                    out_b[d] = v
 
             # pack each doc's sorted distinct shingle set as raw
             # little-endian int32 bytes: the payload crosses the band
@@ -604,22 +653,30 @@ def _banded_signature_kernel(
                 shb[int(e - c * 4) : int(e)] for c, e in zip(ucounts, ends)
             ]
             dk = np.asarray(doc_keys)
-            yield pd.DataFrame(
-                {
-                    key: np.tile(dk, bands),
-                    "sh": pd.Series(
-                        [sh_arrays[d] for _ in range(bands) for d in range(n_docs)],
-                        dtype=object,
-                    ),
-                    "band": np.repeat(np.arange(bands, dtype=np.int32), n_docs),
-                    "bucket": bucket.reshape(-1),
-                }
-            )
+            out = {
+                key: np.tile(dk, bands),
+                "sh": pd.Series(
+                    [sh_arrays[d] for _ in range(bands) for d in range(n_docs)],
+                    dtype=object,
+                ),
+                "band": np.repeat(np.arange(bands, dtype=np.int32), n_docs),
+                "bucket": bucket.reshape(-1),
+            }
+            if emit_hb:
+                # packed per-doc all-band bucket hashes (native int64
+                # bytes — produced and consumed python-side only)
+                hrows = np.ascontiguousarray(bucket.T)
+                hb_list = [hrows[d].tobytes() for d in range(n_docs)]
+                out["hb"] = pd.Series(
+                    [hb_list[d] for _ in range(bands) for d in range(n_docs)],
+                    dtype=object,
+                )
+            yield pd.DataFrame(out)
 
     return run
 
 
-def _bucket_jaccard_verify(threshold: float):
+def _bucket_jaccard_verify(threshold: float, band_dedup: bool = False):
     """Kernel factory: per bucket row (ks = member keys sorted, ss =
     aligned shingle-hash sets), emit every member pair (a, b, jaccard)
     with a before b in bucket order and jaccard >= threshold.
@@ -633,7 +690,17 @@ def _bucket_jaccard_verify(threshold: float):
     both engines (0/0 -> NaN fails the threshold, also both engines).
     A null set (null text upstream) makes every jaccard involving it
     NULL in the SQL form, which the >= filter drops — the kernel skips
-    such members for the same result."""
+    such members for the same result.
+
+    ``band_dedup``: bucket rows additionally carry (band, hs = packed
+    per-member all-band bucket hashes); a passing pair is emitted ONLY
+    when no band before this row's band is also shared by both members
+    (equal band slice <=> equal bucket hash — the md5 is a pure
+    function of the slice, and candidate grouping keys on that same
+    hash). Each pair then leaves the kernel exactly once globally —
+    from its first shared band — so the caller can drop its distinct()
+    exchange. The jaccard value is band-independent, so WHICH band
+    emits is unobservable in the result."""
     import numpy as np
     import pandas as pd
 
@@ -648,47 +715,80 @@ def _bucket_jaccard_verify(threshold: float):
             _triu_cache[b] = iu
         return iu
 
-    def _emit_bucket_lean(ks, ss, thr, out_a, out_b, out_j):
+    def _emit_bucket_lean(n, ss, thr, out_i, out_x, out_j):
         """Fast path for ordinary buckets: no identical-set collapse
         (measured: 99.8% of bench buckets have zero byte-identical
         members, so the class machinery is pure per-bucket overhead),
         one factorize + one matmul + one vectorized triu emission.
         Arithmetic identical to the class path: exact integer
-        intersection counts, float64 division."""
-        b = len(ks)
+        intersection counts, float64 division. Emits POSITIONS (i < j
+        in sorted bucket order); the caller maps them to keys."""
         arrs = [np.frombuffer(s, np.int32) for s in ss]
-        lens = np.fromiter((a.size for a in arrs), np.int64, b)
+        lens = np.fromiter((a.size for a in arrs), np.int64, n)
         allv = np.concatenate(arrs)
         uniq, inv = np.unique(allv, return_inverse=True)
-        M = np.zeros((b, uniq.size), np.float32)
-        M[np.repeat(np.arange(b), lens), inv] = 1.0
+        M = np.zeros((n, uniq.size), np.float32)
+        M[np.repeat(np.arange(n), lens), inv] = 1.0
         inter = (M @ M.T).astype(np.float64)
         with np.errstate(invalid="ignore", divide="ignore"):
             jac = inter / (lens[:, None] + lens[None, :] - inter)
-        iu, ju = _triu(b)
+        iu, ju = _triu(n)
         jv = jac[iu, ju]
         keep = jv >= thr  # NaN (0/0) compares False, like SQL NULL/NaN
         if keep.any():
-            out_a.append(ks[iu[keep]])
-            out_b.append(ks[ju[keep]])
+            out_i.append(iu[keep])
+            out_x.append(ju[keep])
             out_j.append(jv[keep])
 
     def run(batches):
-        for pdf in batches:
+        from rio_toa_spark.operators.batching import coalesce_batches
+
+        for pdf in coalesce_batches(batches):
             out_a: list = []
             out_b: list = []
             out_j: list = []
-            for ks, ss in zip(pdf["ks"].to_numpy(), pdf["ss"].to_numpy()):
-                ks = np.asarray(ks)
+            ks_col = pdf["ks"].to_numpy()
+            ss_col = pdf["ss"].to_numpy()
+            if band_dedup:
+                band_col = pdf["band"].to_numpy()
+                hs_col = pdf["hs"].to_numpy()
+            for r in range(len(ks_col)):
+                ks = np.asarray(ks_col[r])
+                ss = ss_col[r]
+                idx_i: list = []
+                idx_x: list = []
+                jtmp: list = []
                 # big buckets go through the identical-set-collapse
                 # path (it bounds the matmul by R distinct sets — the
                 # degenerate giant-bucket case it exists for); small
                 # buckets take the lean path unless a NULL set needs
                 # the guarded handling
                 if len(ks) <= 64 and all(s is not None for s in ss):
-                    _emit_bucket_lean(ks, ss, threshold, out_a, out_b, out_j)
+                    _emit_bucket_lean(len(ks), ss, threshold, idx_i, idx_x, jtmp)
                 else:
-                    _emit_bucket(ks, ss, threshold, out_a, out_b, out_j)
+                    _emit_bucket(len(ks), ss, threshold, idx_i, idx_x, jtmp)
+                if not idx_i:
+                    continue
+                hmat = None
+                if band_dedup and band_col[r]:
+                    hmat = np.frombuffer(
+                        b"".join(hs_col[r]), np.int64
+                    ).reshape(len(ks), -1)[:, : int(band_col[r])]
+                # map positions to keys segment-by-segment (lean
+                # buckets emit exactly one segment; class buckets may
+                # emit many — per-segment mapping avoids a per-bucket
+                # concatenate copy of the full emission)
+                for s in range(len(idx_i)):
+                    ia, ib, jv = idx_i[s], idx_x[s], jtmp[s]
+                    if hmat is not None:
+                        keep = ~(hmat[ia] == hmat[ib]).any(axis=1)
+                        if not keep.all():
+                            ia, ib, jv = ia[keep], ib[keep], jv[keep]
+                            if not ia.size:
+                                continue
+                    out_a.append(ks[ia])
+                    out_b.append(ks[ib])
+                    out_j.append(jv)
             if out_a:
                 yield pd.DataFrame(
                     {
@@ -703,11 +803,12 @@ def _bucket_jaccard_verify(threshold: float):
                      "jaccard": pd.Series(dtype=np.float64)}
                 )
 
-    def _emit_bucket(ks, ss, thr, out_a, out_b, out_j):
-        # collapse byte-identical sets into classes
+    def _emit_bucket(n, ss, thr, out_i, out_x, out_j):
+        # collapse byte-identical sets into classes; emits POSITIONS
+        # like the lean path (the caller maps them to keys)
         class_of = {}
         reps: list = []
-        cls_idx = np.empty(len(ks), np.int64)
+        cls_idx = np.empty(n, np.int64)
         for i, s in enumerate(ss):
             if s is None:
                 cls_idx[i] = -1  # null set: every pair involving it drops
@@ -757,16 +858,16 @@ def _bucket_jaccard_verify(threshold: float):
                 bi = pos_single[qq]
                 lo = np.minimum(ai, bi)
                 hi = np.maximum(ai, bi)
-                out_a.append(ks[lo])
-                out_b.append(ks[hi])
+                out_i.append(lo)
+                out_x.append(hi)
                 out_j.append(jacm[pp, qq])
         # loop cases: intra-class pairs and cross pairs with a multi class
         for p in range(R):
             mp = members[p]
             if counts[p] >= 2 and passing[p, p]:
                 iu, ju = np.triu_indices(counts[p], 1)
-                out_a.append(ks[mp[iu]])
-                out_b.append(ks[mp[ju]])
+                out_i.append(mp[iu])
+                out_x.append(mp[ju])
                 out_j.append(np.full(iu.size, jacm[p, p]))
             if counts[p] == 1:
                 continue
@@ -778,8 +879,8 @@ def _bucket_jaccard_verify(threshold: float):
                 gj = np.tile(mq, counts[p])
                 lo = np.minimum(gi, gj)
                 hi = np.maximum(gi, gj)
-                out_a.append(ks[lo])
-                out_b.append(ks[hi])
+                out_i.append(lo)
+                out_x.append(hi)
                 out_j.append(np.full(gi.size, jacm[p, q]))
         # cross pairs where p is singleton but q is multi (skipped above
         # by the `continue`): handle symmetrically
@@ -795,8 +896,8 @@ def _bucket_jaccard_verify(threshold: float):
                 gj = mq
                 lo = np.minimum(gi, gj)
                 hi = np.maximum(gi, gj)
-                out_a.append(ks[lo])
-                out_b.append(ks[hi])
+                out_i.append(lo)
+                out_x.append(hi)
                 out_j.append(np.full(gj.size, jacm[p, q]))
 
     return run

@@ -199,6 +199,28 @@ def test_lsh_max_bucket_skips_degenerate_buckets(spark, docs):
     assert full.count() == 4 * (30 * 29) // 2
 
 
+def test_lsh_first_band_dedup_equivalent(spark, docs):
+    """The uncapped fused path emits each pair only from its FIRST
+    shared band and drops the distinct() exchange; the capped path
+    (max_bucket set, here effectively uncapped at 10^9) keeps the
+    generic every-band emission + distinct. Both must produce the
+    identical pair multiset, and the first-band stream must already be
+    duplicate-free (that is the invariant that justified removing
+    distinct())."""
+    base = docs.limit(40)
+    dups = base.withColumn("doc_id", F.col("doc_id") + 100000).withColumn(
+        "text", F.concat(F.col("text"), F.lit(" tail"))
+    )
+    corpus = base.unionByName(dups)
+    fused = dedup.ngram_jaccard_pairs(corpus, threshold=0.5)
+    generic = dedup.ngram_jaccard_pairs(corpus, threshold=0.5, max_bucket=10**9)
+    got = sorted((r.a, r.b, r.jaccard) for r in fused.collect())
+    ref = sorted((r.a, r.b, r.jaccard) for r in generic.collect())
+    assert got == ref
+    assert got, "planted near-dups must yield pairs"
+    assert len(got) == len({(a, b) for a, b, _ in got})
+
+
 def test_detect_language_known_snippets(spark):
     from rio_toa_spark.operators import textstats
 
