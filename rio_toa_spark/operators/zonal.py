@@ -159,37 +159,63 @@ def zonal_stats(
     has_dtype = "dtype" in tiles_df.columns
     has_nodata = "nodata" in tiles_df.columns
 
-    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in batches:
+    # mapInArrow, not mapInPandas: the pandas conversion materializes
+    # every 0.5 MB pixel cell as a python bytes copy before the kernel
+    # can wrap it; Arrow record batches hand the kernel zero-copy
+    # buffer slices instead (same pattern as the TOA strip kernels).
+    # Arithmetic is untouched — identical numpy ops over identical
+    # buffers — so partials stay bitwise-equal.
+    from pyspark.sql.pandas.types import to_arrow_schema
+
+    pa_out = to_arrow_schema(out_schema)
+
+    def run(batches):
+        import pyarrow as pa
+
+        for batch in batches:
+            cols = {name: batch.column(name) for name in batch.schema.names}
+            zcol = cols[zone_key]
             zid, band, cnt, tot, mn, mx = [], [], [], [], [], []
-            for row in pdf.itertuples(index=False):
-                np_dtype = np.dtype(row.dtype) if has_dtype else np.dtype(np.uint16)
-                arr = np.frombuffer(row.pixels, dtype=np_dtype).reshape(
-                    row.height, row.width
+            for i in range(batch.num_rows):
+                height = int(cols["height"][i].as_py())
+                width = int(cols["width"][i].as_py())
+                np_dtype = (
+                    np.dtype(cols["dtype"][i].as_py()) if has_dtype else np.dtype(np.uint16)
                 )
-                dx = (row.bounds_e - row.bounds_w) / row.width
-                dy = (row.bounds_n - row.bounds_s) / row.height
+                arr = np.frombuffer(
+                    cols["pixels"][i].as_buffer(), dtype=np_dtype
+                ).reshape(height, width)
+                bw = cols["bounds_w"][i].as_py()
+                be = cols["bounds_e"][i].as_py()
+                bs = cols["bounds_s"][i].as_py()
+                bn = cols["bounds_n"][i].as_py()
+                dx = (be - bw) / width
+                dy = (bn - bs) / height
                 # pixel-center coordinates; raster row 0 is the north edge
-                cx = row.bounds_w + (np.arange(row.width) + 0.5) * dx
-                cy = row.bounds_n - (np.arange(row.height) + 0.5) * dy
+                cx = bw + (np.arange(width) + 0.5) * dx
+                cy = bn - (np.arange(height) + 0.5) * dy
                 # the in-zone pixels [fw, fe) x [fs, fn) form a
                 # contiguous block (cx ascending, cy descending):
                 # compute slice bounds and take a VIEW, not the
                 # boolean-mask copy np.ix_ would make
-                x0 = np.searchsorted(cx, row.fw, side="left")
-                x1 = np.searchsorted(cx, row.fe, side="left")
+                x0 = np.searchsorted(cx, cols["fw"][i].as_py(), side="left")
+                x1 = np.searchsorted(cx, cols["fe"][i].as_py(), side="left")
                 asc = -cy  # ascending; cy < fn <=> -cy > -fn
-                y0 = np.searchsorted(asc, -row.fn, side="right")
-                y1 = np.searchsorted(asc, -row.fs, side="right")
+                y0 = np.searchsorted(asc, -cols["fn"][i].as_py(), side="right")
+                y1 = np.searchsorted(asc, -cols["fs"][i].as_py(), side="right")
                 sub = arr[y0:y1, x0:x1]
-                vals = sub[sub != row.nodata] if has_nodata else sub.ravel()
-                zid.append(getattr(row, zone_key))
-                band.append(row.band)
+                nodata_v = cols["nodata"][i].as_py() if has_nodata else None
+                # a null nodata keeps every pixel — same outcome as the
+                # old pandas path, where a NaN-ified nodata made the
+                # `!=` mask all-True
+                vals = sub[sub != nodata_v] if nodata_v is not None else sub.ravel()
+                zid.append(zcol[i].as_py())
+                band.append(cols["band"][i].as_py())
                 cnt.append(int(vals.size))
                 tot.append(float(vals.sum(dtype=np.float64)) if vals.size else 0.0)
                 mn.append(float(vals.min()) if vals.size else float("inf"))
                 mx.append(float(vals.max()) if vals.size else float("-inf"))
-            yield pd.DataFrame(
+            yield pa.RecordBatch.from_pydict(
                 {
                     zone_key: zid,
                     "band": band,
@@ -197,13 +223,14 @@ def zonal_stats(
                     "px_sum": tot,
                     "px_min": mn,
                     "px_max": mx,
-                }
+                },
+                schema=pa_out,
             )
 
     extra_zone_cols = [
         c for c in zones_df.columns if c not in (zone_key, "fw", "fs", "fe", "fn")
     ]
-    partials = joined.drop("cell", *extra_zone_cols).mapInPandas(run, out_schema)
+    partials = joined.drop("cell", *extra_zone_cols).mapInArrow(run, out_schema)
     return (
         partials.groupBy(zone_key, "band")
         .agg(
